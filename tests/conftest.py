@@ -1,0 +1,23 @@
+"""Test env: force an 8-device virtual CPU mesh before jax initializes.
+
+This is how multi-chip sharding is tested without a pod (SURVEY.md §4): every
+pjit/shard_map path runs on 8 virtual CPU devices; the driver separately
+dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
