@@ -1,0 +1,247 @@
+"""GAR model assembly, TPU-native.
+
+Puts together (reference: models/grasp_any_region.py forward +
+hf_models/modeling_gar.py GARModel):
+
+  1. mask patch embedding — zero-init patchify-matmul over the binarized
+     prompt matrix (reference: nn.Conv2d 3->Dv kernel 14 stride 14,
+     grasp_any_region.py:78-87; binarize at :255-266)
+  2. PE-ViT encode of all tiles with mask embeds injected after patch embed
+  3. projector (+2x pool) -> 256 tokens/tile
+  4. placeholder scatter of image features into the token embedding sequence
+     (reference masked_scatter, grasp_any_region.py:284-289) — here an
+     order-preserving gather, fully static
+  5. RoI feature replay scatter (models/replay.py)
+  6. Llama prefill / decode
+
+Everything below operates on static shapes: tiles are padded to a bucket
+(T = 1 + max_num_tiles), regions to R_max; validity masks make padding inert.
+The reference enforces batch_size=1 (grasp_any_region.py:270); here batch is
+a first-class axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GARConfig
+from ..ops.norms import rms_norm
+from .llama import (
+    KVCache,
+    embed_tokens,
+    init_llama_params,
+    llama_decode_step,
+    llama_prefill,
+    lm_logits,
+)
+from .projector import init_projector_params, projector_forward
+from .replay import replay_features, scatter_replay
+from .vision import init_vision_params, patchify, vision_forward
+
+
+class GARBatch(NamedTuple):
+    """Host-prepared, static-shape model inputs (one or more samples).
+
+    input_ids:    (B, S) int32, right-padded with pad_id
+    positions:    (B, S) int32
+    segment_ids:  (B, S) int32 — 1 for real tokens, 0 for padding
+    pixel_values: (B, T, 3, H, W) — T = 1 (thumbnail) + tile bucket; padded
+                  tiles are zeros and their features are never gathered
+    mask_values:  (B, T, 3, H, W) — rasterized prompt-id plane through the
+                  NEAREST pipeline (normalized to [-1,1], compat mode) or
+                  already-binary {0,1} plane (native mode)
+    aspect_ratio: (B, 2) int32 [ncw, nch]
+    bboxes:       (B, R, 4) fp32 normalized region boxes
+    replay_pos:   (B, R) int32 start of each region's 256-crop-token run
+    replay_valid: (B, R) bool
+    num_tiles:    (B,) int32 — 1 + ncw*nch valid entries of pixel_values
+    """
+
+    input_ids: jnp.ndarray
+    positions: jnp.ndarray
+    segment_ids: jnp.ndarray
+    pixel_values: jnp.ndarray
+    mask_values: jnp.ndarray
+    aspect_ratio: jnp.ndarray
+    bboxes: jnp.ndarray
+    replay_pos: jnp.ndarray
+    replay_valid: jnp.ndarray
+    num_tiles: jnp.ndarray
+
+
+def init_gar_params(rng: jax.Array, cfg: GARConfig, dtype=jnp.float32) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    kh, kw = cfg.mask_patch_kernel
+    return {
+        "vision": init_vision_params(k1, cfg.vision, dtype),
+        "projector": init_projector_params(k2, cfg, dtype),
+        "llm": init_llama_params(k3, cfg.text, cfg.padded_vocab_size, dtype),
+        # zero-init (reference grasp_any_region.py:86-87); channel-major
+        # flattening matches patchify()
+        "mask_embed": {
+            "kernel": jnp.zeros((kh * kw * cfg.mask_in_channels, cfg.vision.width), dtype)
+        },
+    }
+
+
+def decode_mask_values(cfg: GARConfig, mask_values: jnp.ndarray, *, compat: bool = True) -> jnp.ndarray:
+    """Recover the binary region-vs-background plane from the mask pipeline.
+
+    compat=True reproduces the reference's round trip through image
+    normalization: ids = clamp(round((x+1)/2*255), 0, N); binary = ids != N
+    (grasp_any_region.py:255-266). compat=False expects {0,1} input already.
+    """
+    if not compat:
+        return mask_values.astype(jnp.float32)
+    n = cfg.prompt_numbers
+    ids = jnp.round((mask_values.astype(jnp.float32) + 1.0) / 2.0 * 255.0)
+    ids = jnp.clip(ids, 0, n)
+    return (ids != n).astype(jnp.float32)
+
+
+def mask_patch_embed(params: dict, cfg: GARConfig, binary_mask: jnp.ndarray) -> jnp.ndarray:
+    """(T, 3, H, W) binary plane -> (T, N_patches, Dv) via zero-init matmul."""
+    x = patchify(binary_mask, cfg.vision)  # reuses ViT patch flattening
+    return x @ params["mask_embed"]["kernel"].astype(x.dtype)
+
+
+def encode_images(
+    params: dict,
+    cfg: GARConfig,
+    pixel_values: jnp.ndarray,  # (T, 3, H, W) — tiles of ONE (or flattened) batch
+    mask_values: Optional[jnp.ndarray] = None,
+    *,
+    mask_compat: bool = True,
+    remat: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """-> (T, tokens_per_tile, Dt) projected image features.
+
+    Mirrors get_image_features (modeling_perception_lm.py:239-269): vision
+    tower with mask embeds, drop CLS, project + pool.
+    """
+    mask_embeds = None
+    if mask_values is not None:
+        binary = decode_mask_values(cfg, mask_values, compat=mask_compat)
+        mask_embeds = mask_patch_embed(params, cfg, binary.astype(compute_dtype))
+    hidden = vision_forward(
+        params["vision"], cfg.vision, pixel_values, mask_embeds,
+        remat=remat, compute_dtype=compute_dtype,
+    )
+    if cfg.vision_use_cls_token:
+        hidden = hidden[:, 1:, :]
+    return projector_forward(params["projector"], cfg, hidden)
+
+
+def scatter_image_features(
+    input_ids: jnp.ndarray,  # (S,)
+    token_embeds: jnp.ndarray,  # (S, D)
+    image_features: jnp.ndarray,  # (T, tok, D) valid tiles first
+    image_token_id: int,
+) -> jnp.ndarray:
+    """Order-preserving scatter: j-th image placeholder <- j-th feature row.
+
+    Static-shape equivalent of masked_scatter (grasp_any_region.py:284-289).
+    Valid tiles occupy a prefix of image_features, and input_ids contains
+    exactly (valid tiles * tok) placeholders, so order alignment is exact.
+    """
+    t, tok, d = image_features.shape
+    flat = image_features.reshape(t * tok, d)
+    is_img = input_ids == image_token_id
+    idx = jnp.clip(jnp.cumsum(is_img) - 1, 0, t * tok - 1)
+    return jnp.where(is_img[:, None], flat[idx].astype(token_embeds.dtype), token_embeds)
+
+
+def build_prefill_embeds(
+    params: dict,
+    cfg: GARConfig,
+    batch: GARBatch,
+    *,
+    mask_compat: bool = True,
+    double_scale_compat: bool = True,
+    remat: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Token embeds + image scatter + feature replay -> (B, S, Dt)."""
+    b, t = batch.pixel_values.shape[:2]
+    pix = batch.pixel_values.reshape((b * t,) + batch.pixel_values.shape[2:])
+    msk = batch.mask_values.reshape((b * t,) + batch.mask_values.shape[2:])
+    feats = encode_images(
+        params, cfg, pix, msk,
+        mask_compat=mask_compat, remat=remat, compute_dtype=compute_dtype,
+    )  # (B*T, tok, Dt)
+    feats = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
+
+    tok_embeds = embed_tokens(params["llm"], batch.input_ids, compute_dtype)
+
+    embeds = jax.vmap(
+        lambda ids, te, f: scatter_image_features(ids, te, f, cfg.image_token_id)
+    )(batch.input_ids, tok_embeds, feats)
+
+    replay = jax.vmap(
+        lambda f, ar, bx: replay_features(
+            cfg, f, ar, bx, double_scale_compat=double_scale_compat
+        )
+    )(feats, batch.aspect_ratio, batch.bboxes)  # (B, R, 256, Dt)
+
+    return scatter_replay(embeds, replay, batch.replay_pos, batch.replay_valid)
+
+
+def gar_prefill(
+    params: dict,
+    cfg: GARConfig,
+    batch: GARBatch,
+    *,
+    mask_compat: bool = True,
+    double_scale_compat: bool = True,
+    remat: bool = False,
+    compute_dtype=jnp.bfloat16,
+    use_flash: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Full multimodal prefill. Returns (hidden (B,S,D), (k,v) per layer)."""
+    embeds = build_prefill_embeds(
+        params, cfg, batch,
+        mask_compat=mask_compat, double_scale_compat=double_scale_compat,
+        remat=remat, compute_dtype=compute_dtype,
+    )
+    return llama_prefill(
+        params["llm"], cfg.text, embeds, batch.positions,
+        segment_ids=batch.segment_ids, remat=remat, use_flash=use_flash,
+    )
+
+
+def gar_decode_step(
+    params: dict,
+    cfg: GARConfig,
+    token_ids: jnp.ndarray,  # (B,) current tokens
+    cache: KVCache,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step. Returns (logits (B, V), new cache)."""
+    embeds = embed_tokens(params["llm"], token_ids[:, None], compute_dtype)
+    hidden, cache = llama_decode_step(params["llm"], cfg.text, embeds, cache)
+    logits = lm_logits(
+        params["llm"], cfg.text, hidden[:, 0], valid_vocab=cfg.extended_vocab_size
+    )
+    return logits, cache
+
+
+def seed_cache_from_prefill(
+    cfg: GARConfig,
+    kv: Tuple[jnp.ndarray, jnp.ndarray],
+    seq_lens: jnp.ndarray,  # (B,) true prompt lengths
+    max_len: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    """Place prefill K/V (L,B,S,K,Dh) into a zero cache of max_len slots."""
+    ks, vs = kv
+    L, b, s, kh, dh = ks.shape
+    assert max_len >= s
+    pad = ((0, 0), (0, 0), (0, max_len - s), (0, 0), (0, 0))
+    k = jnp.pad(ks.astype(dtype), pad)
+    v = jnp.pad(vs.astype(dtype), pad)
+    return KVCache(k=k, v=v, length=seq_lens.astype(jnp.int32))

@@ -1,0 +1,116 @@
+"""Jitted generation loop (greedy + temperature sampling).
+
+Replaces the reference's HF GenerationMixin python loop
+(hf_models/modeling_gar.py:418-427 -> transformers greedy search) with a
+single compiled function: multimodal prefill, cache seeding, and a
+`lax.while_loop` decode with per-sample early-exit on <|eot_id|>. All
+reference evals decode greedily with max_new_tokens=1024
+(GAR-Bench/inference.py:158-167).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EOT_TOKEN_ID, GARConfig
+from .gar import GARBatch, gar_decode_step, gar_prefill, seed_cache_from_prefill
+from .llama import KVCache, lm_logits
+
+
+class GenerationResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, max_new_tokens) generated ids, pad after eot
+    num_generated: jnp.ndarray  # (B,) count including the eot token
+
+
+def _sample(logits: jnp.ndarray, rng: Optional[jax.Array], temperature: float) -> jnp.ndarray:
+    if temperature == 0.0 or rng is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "eot_id",
+        "pad_id",
+        "temperature",
+        "mask_compat",
+        "double_scale_compat",
+        "use_flash",
+    ),
+)
+def generate(
+    params: dict,
+    cfg: GARConfig,
+    batch: GARBatch,
+    prompt_lens: jnp.ndarray,  # (B,) true prompt lengths
+    *,
+    max_new_tokens: int = 1024,
+    eot_id: int = EOT_TOKEN_ID,
+    pad_id: int = 0,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    mask_compat: bool = True,
+    double_scale_compat: bool = True,
+    use_flash: Optional[bool] = None,
+) -> GenerationResult:
+    b, s = batch.input_ids.shape
+    hidden, kv = gar_prefill(
+        params, cfg, batch,
+        mask_compat=mask_compat, double_scale_compat=double_scale_compat,
+        use_flash=use_flash,
+    )
+    last_hidden = hidden[jnp.arange(b), prompt_lens - 1]  # (B, D)
+    logits0 = lm_logits(
+        params["llm"], cfg.text, last_hidden, valid_vocab=cfg.extended_vocab_size
+    )
+    rng0 = rng if rng is not None else jax.random.PRNGKey(0)
+    tok0 = _sample(logits0, rng0, temperature)
+
+    cache = seed_cache_from_prefill(cfg, kv, prompt_lens, s + max_new_tokens)
+
+    class State(NamedTuple):
+        cache: KVCache
+        cur: jnp.ndarray  # (B,)
+        out: jnp.ndarray  # (B, max_new)
+        step: jnp.ndarray  # ()
+        done: jnp.ndarray  # (B,)
+        rng: jax.Array
+
+    out0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0)
+    init = State(
+        cache=cache,
+        cur=tok0,
+        out=out0,
+        step=jnp.asarray(1, jnp.int32),
+        done=tok0 == eot_id,
+        rng=rng0,
+    )
+
+    def cond(st: State):
+        return (st.step < max_new_tokens) & (~jnp.all(st.done))
+
+    def body(st: State):
+        logits, cache = gar_decode_step(params, cfg, st.cur, st.cache)
+        key, sub = jax.random.split(st.rng)
+        nxt = _sample(logits, sub, temperature)
+        nxt = jnp.where(st.done, pad_id, nxt)
+        out = st.out.at[:, st.step].set(nxt)
+        done = st.done | (nxt == eot_id)
+        return State(cache=cache, cur=nxt, out=out, step=st.step + 1, done=done, rng=key)
+
+    final = jax.lax.while_loop(cond, body, init)
+    toks = final.out
+    # count tokens up to and including first eot (or max_new)
+    is_eot = toks == eot_id
+    any_eot = jnp.any(is_eot, axis=-1)
+    first_eot = jnp.argmax(is_eot, axis=-1)
+    num = jnp.where(any_eot, first_eot + 1, max_new_tokens)
+    return GenerationResult(tokens=toks, num_generated=num.astype(jnp.int32))
