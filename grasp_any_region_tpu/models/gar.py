@@ -218,12 +218,15 @@ def gar_decode_step(
     cfg: GARConfig,
     token_ids: jnp.ndarray,  # (B,) current tokens
     cache: KVCache,
+    prompt_pad: int,
     *,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step. Returns (logits (B, V), new cache)."""
     embeds = embed_tokens(params["llm"], token_ids[:, None], compute_dtype)
-    hidden, cache = llama_decode_step(params["llm"], cfg.text, embeds, cache)
+    hidden, cache = llama_decode_step(
+        params["llm"], cfg.text, embeds, cache, prompt_pad
+    )
     logits = lm_logits(
         params["llm"], cfg.text, hidden[:, 0], valid_vocab=cfg.extended_vocab_size
     )
@@ -237,11 +240,18 @@ def seed_cache_from_prefill(
     max_len: int,
     dtype=jnp.bfloat16,
 ) -> KVCache:
-    """Place prefill K/V (L,B,S,K,Dh) into a zero cache of max_len slots."""
+    """Place prefill K/V (L,B,S,K,Dh) into a head-major cache of max_len
+    columns. The prompt block occupies columns [0, S) (right-padded rows
+    masked by prompt_lens); write_pos starts at S (== prompt_pad)."""
     ks, vs = kv
     L, b, s, kh, dh = ks.shape
     assert max_len >= s
-    pad = ((0, 0), (0, 0), (0, max_len - s), (0, 0), (0, 0))
-    k = jnp.pad(ks.astype(dtype), pad)
-    v = jnp.pad(vs.astype(dtype), pad)
-    return KVCache(k=k, v=v, length=seq_lens.astype(jnp.int32))
+    # (L, B, S, K, Dh) -> (L, B, K, S, Dh), pad columns to max_len
+    pad = ((0, 0), (0, 0), (0, 0), (0, max_len - s), (0, 0))
+    k = jnp.pad(ks.astype(dtype).transpose(0, 1, 3, 2, 4), pad)
+    v = jnp.pad(vs.astype(dtype).transpose(0, 1, 3, 2, 4), pad)
+    return KVCache(
+        k=k, v=v,
+        prompt_lens=seq_lens.astype(jnp.int32),
+        write_pos=jnp.asarray(s, jnp.int32),
+    )

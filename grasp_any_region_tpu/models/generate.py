@@ -73,7 +73,9 @@ def generate(
     rng0 = rng if rng is not None else jax.random.PRNGKey(0)
     tok0 = _sample(logits0, rng0, temperature)
 
-    cache = seed_cache_from_prefill(cfg, kv, prompt_lens, s + max_new_tokens)
+    # cache columns rounded up so the decode kernel's block size divides them
+    max_len = ((s + max_new_tokens + 511) // 512) * 512
+    cache = seed_cache_from_prefill(cfg, kv, prompt_lens, max_len)
 
     class State(NamedTuple):
         cache: KVCache
@@ -98,7 +100,7 @@ def generate(
         return (st.step < max_new_tokens) & (~jnp.all(st.done))
 
     def body(st: State):
-        logits, cache = gar_decode_step(params, cfg, st.cur, st.cache)
+        logits, cache = gar_decode_step(params, cfg, st.cur, st.cache, s)
         key, sub = jax.random.split(st.rng)
         nxt = _sample(logits, sub, temperature)
         nxt = jnp.where(st.done, pad_id, nxt)

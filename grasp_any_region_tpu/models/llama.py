@@ -5,9 +5,12 @@ of PerceptionLMForConditionalGeneration, modeling_perception_lm.py:429-572),
 re-designed for XLA:
 
   * Layers are stacked and scanned (`lax.scan`) — one compiled block.
-  * KV cache is a static-shape (L, B, S_max, K, Dh) pair; prefill emits it as
-    scan outputs, decode updates it in place per step (no dynamic torch.cat
-    like HF's DynamicCache).
+  * KV cache is a static-shape (L, B, S_max, Kh, Dh) pair carried through the
+    decode loop and written with SCALAR-start `dynamic_update_slice` so XLA
+    aliases the update in place (a per-row scatter would copy the whole
+    multi-GB cache every step). Prompts are right-padded to a common column
+    budget; generated tokens share one write column per step and attention
+    masks each row to [0, prompt_len) ∪ [prompt_pad, write_pos].
   * GQA flash attention via ops.attention dispatch; fp32 softmax.
   * Big-vocab cross-entropy is chunked over the sequence so full
     (B, S, 128k) logits are never materialized (see train/losses.py).
@@ -29,18 +32,15 @@ from ..ops.rope import apply_rope, llama_inv_freq, rope_cos_sin
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, S_max, K, Dh)
-    v: jnp.ndarray  # (L, B, S_max, K, Dh)
-    length: jnp.ndarray  # (B,) int32 valid entries
+    """Decode cache. Columns [0, prompt_pad) hold right-padded prompt K/V
+    (garbage at each row's pad tail, masked by prompt_lens); generated tokens
+    occupy columns [prompt_pad, write_pos]. write_pos is a shared scalar so
+    every cache write is a scalar-start dynamic_update_slice (in-place)."""
 
-    @classmethod
-    def zeros(cls, cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-        return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
-            length=jnp.zeros((batch,), jnp.int32),
-        )
+    k: jnp.ndarray  # (L, B, Kh, S_max, Dh) — head-major so decode kernels
+    v: jnp.ndarray  #   stream contiguous (S, Dh) slabs with no transpose
+    prompt_lens: jnp.ndarray  # (B,) int32 true prompt lengths
+    write_pos: jnp.ndarray  # () int32 next column to write
 
 
 def init_llama_params(
@@ -101,9 +101,14 @@ def llama_prefill(
     segment_ids: Optional[jnp.ndarray] = None,  # (B, S) packing/padding mask
     remat: bool = False,
     use_flash: Optional[bool] = None,
+    right_padded: bool = True,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Full-sequence forward. Returns (hidden (B,S,D), (k_all, v_all)) where
-    k_all/v_all are (L, B, S, K, Dh) for cache seeding."""
+    k_all/v_all are (L, B, S, K, Dh) for cache seeding.
+
+    right_padded: the GAR data path right-pads (collate mirrors
+    custom_collect_fn.py:67-87), so the Pallas flash kernel is exact without
+    segment support; pass False for packed multi-document batches."""
     inv = llama_inv_freq(cfg)
     cos, sin = rope_cos_sin(positions, inv)  # (B, S, Dh)
     eps = cfg.rms_norm_eps
@@ -111,7 +116,8 @@ def llama_prefill(
     def body(x, bp):
         y = rms_norm(x, bp["attn_norm"], eps)
         q, k, v = _qkv(cfg, bp, y, cos, sin)
-        a = mha(q, k, v, causal=True, segment_ids=segment_ids, use_flash=use_flash)
+        a = mha(q, k, v, causal=True, segment_ids=segment_ids,
+                use_flash=use_flash, right_padded=right_padded)
         a = a.reshape(x.shape[0], x.shape[1], -1) @ bp["wo"].astype(x.dtype)
         x = x + a
         y = rms_norm(x, bp["mlp_norm"], eps)
@@ -128,34 +134,69 @@ def llama_decode_step(
     cfg: TextConfig,
     inputs_embeds: jnp.ndarray,  # (B, 1, D)
     cache: KVCache,
+    prompt_pad: int,
+    *,
+    use_kernel: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One token step. Reads positions from cache.length, appends k/v."""
+    """One token step.
+
+    prompt_pad: static column budget of the prompt block (cache columns
+    [0, prompt_pad) are prompt K/V; generated tokens go after).
+    The cache is threaded through the layer loop as CARRY and written with
+    scalar-start dynamic_update_slice — XLA keeps it in place; a per-row
+    scatter (or scan ys) would copy the whole cache every step.
+    use_kernel: Pallas decode-attention kernel (None = auto: on for TPU).
+    """
     b = inputs_embeds.shape[0]
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
     inv = llama_inv_freq(cfg)
-    pos = cache.length  # (B,) position of the new token
+    wp = cache.write_pos  # () scalar column for this token
+    # rope position of the new token per row: prompt_len + tokens generated
+    pos = cache.prompt_lens + (wp - prompt_pad)  # (B,)
     cos, sin = rope_cos_sin(pos[:, None], inv)  # (B, 1, Dh)
     eps = cfg.rms_norm_eps
-    batch_idx = jnp.arange(b)
 
-    def body(x, layer):
-        bp, k_cache, v_cache = layer  # k_cache: (B, S_max, K, Dh)
+    def attend(q, k_cache, v_cache):
+        if use_kernel:
+            from ..ops.decode_attention import decode_attention
+
+            return decode_attention(
+                q, k_cache, v_cache,
+                prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
+            )
+        return decode_attention_reference(
+            q, k_cache, v_cache,
+            prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
+        )
+
+    def body(l, carry):
+        x, k_all, v_all = carry
+        bp = jax.tree_util.tree_map(lambda p: p[l], params["blocks"])
         y = rms_norm(x, bp["attn_norm"], eps)
         q, k, v = _qkv(cfg, bp, y, cos, sin)  # q: (B,1,H,Dh), k/v: (B,1,K,Dh)
-        k_cache = k_cache.at[batch_idx, pos].set(k[:, 0])
-        v_cache = v_cache.at[batch_idx, pos].set(v[:, 0])
-        a = decode_attention_reference(
-            q[:, 0], k_cache, v_cache, cache_len=pos + 1
-        )  # (B, H, Dh)
+        # scalar-start in-place writes at (l, :, :, wp, :)
+        k_new = k[:, 0][:, :, None, :]  # (B, K, 1, Dh)
+        v_new = v[:, 0][:, :, None, :]
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new.astype(k_all.dtype)[None], (l, 0, 0, wp, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new.astype(v_all.dtype)[None], (l, 0, 0, wp, 0)
+        )
+        a = attend(q[:, 0], k_all[l], v_all[l])  # (B, H, Dh)
         a = a.reshape(b, 1, -1) @ bp["wo"].astype(x.dtype)
         x = x + a
         y = rms_norm(x, bp["mlp_norm"], eps)
         x = x + _mlp(bp, y)
-        return x, (k_cache, v_cache)
+        return (x, k_all, v_all)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, inputs_embeds, (params["blocks"], cache.k, cache.v)
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, cfg.num_layers, body, (inputs_embeds, cache.k, cache.v)
     )
-    return x, KVCache(k=new_k, v=new_v, length=cache.length + 1)
+    return x, KVCache(
+        k=new_k, v=new_v, prompt_lens=cache.prompt_lens, write_pos=wp + 1
+    )
 
 
 def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -173,10 +214,17 @@ def lm_logits(
     x = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     if head is None:
-        head = params["embed"].T
-    logits = jnp.einsum(
-        "...d,dv->...v", x, head.astype(x.dtype), preferred_element_type=jnp.float32
-    )
+        # tied embeddings: contract against (V, D) directly — never
+        # materialize the 0.5 GB transpose (this runs every decode step)
+        logits = jnp.einsum(
+            "...d,vd->...v", x, params["embed"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = jnp.einsum(
+            "...d,dv->...v", x, head.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
     v_rows = logits.shape[-1]
     if valid_vocab is not None and valid_vocab < v_rows:
         mask = jnp.arange(v_rows) < valid_vocab

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..core.config import VisionConfig
 from ..ops.attention import mha
 from ..ops.norms import layer_norm
+from ..ops.vit_attention import vit_attention
 from ..ops.rope import apply_rope_2d, axial_rope_angles, init_mixed_rope_freqs, mixed_rope_angles
 
 
@@ -93,7 +94,8 @@ def patchify(pixel_values: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
     return x.reshape(t, gh * gw, c * p * p)
 
 
-def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.ndarray]):
+def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.ndarray],
+           use_flash: Optional[bool] = None):
     """One transformer block. x: (T, S, D); angles: (H, N, d/2) or None."""
     t, s, d = x.shape
     h = cfg.num_heads
@@ -108,7 +110,12 @@ def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.nda
         # rope over patch tokens, CLS passes through
         q = apply_rope_2d(q.transpose(0, 2, 1, 3), angles, n_prefix).transpose(0, 2, 1, 3)
         k = apply_rope_2d(k.transpose(0, 2, 1, 3), angles, n_prefix).transpose(0, 2, 1, 3)
-    attn = mha(q, k, v, causal=False, use_flash=False)
+    on_tpu = jax.default_backend() == "tpu"
+    if use_flash is not False and on_tpu and s <= 2048:
+        # fused single-pass kernel: whole (S, S) logits block lives in VMEM
+        attn = vit_attention(q, k, v)
+    else:
+        attn = mha(q, k, v, causal=False, use_flash=use_flash)
     attn = attn.reshape(t, s, d) @ bp["wo"].astype(x.dtype) + bp["bo"].astype(x.dtype)
     if "ls1" in bp:
         attn = attn * bp["ls1"].astype(attn.dtype)
@@ -131,6 +138,7 @@ def vision_forward(
     *,
     remat: bool = False,
     compute_dtype=jnp.bfloat16,
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run the tower.
 
@@ -172,7 +180,7 @@ def vision_forward(
 
     def body(carry, layer):
         bp, ang = layer
-        out = _block(cfg, carry, bp, ang)
+        out = _block(cfg, carry, bp, ang, use_flash)
         return out, None
 
     if angles is not None:
@@ -182,7 +190,7 @@ def vision_forward(
 
         def body(carry, layer):  # noqa: F811
             bp, _ = layer
-            return _block(cfg, carry, bp, None), None
+            return _block(cfg, carry, bp, None, use_flash), None
 
     body_fn = jax.checkpoint(body) if remat else body
     x, _ = jax.lax.scan(body_fn, x, xs)

@@ -57,11 +57,15 @@ def mha_reference(
     _, sk, kh, _ = k.shape
     if scale is None:
         scale = d ** -0.5
-    qf = q.astype(jnp.float32) * scale
-    kf = repeat_kv(k, h // kh).astype(jnp.float32)
-    vf = repeat_kv(v, h // kh).astype(jnp.float32)
+    # keep matmuls in the input dtype (bf16 on TPU = native MXU; fp32 inputs
+    # in tests accumulate exactly via preferred_element_type)
+    qf = q * jnp.asarray(scale, q.dtype)
+    kf = repeat_kv(k, h // kh)
+    vf = repeat_kv(v, h // kh)
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf, precision=jax.lax.Precision.HIGHEST)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qf, kf, preferred_element_type=jnp.float32
+    )
     mask = None
     if causal:
         qpos = jnp.arange(sq)[:, None] + (sk - sq)  # right-aligned
@@ -76,7 +80,10 @@ def mha_reference(
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), vf,
+        preferred_element_type=jnp.float32,
+    )
     return out.astype(q.dtype)
 
 
@@ -89,18 +96,25 @@ def mha(
     segment_ids: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    right_padded: bool = False,
 ) -> jnp.ndarray:
     """Dispatching attention entry point.
 
     use_flash=None auto-selects: Pallas flash kernel on TPU for Sq >= 1024
     (where the O(S^2) logits buffer stops fitting in VMEM/fusion budgets),
     XLA reference otherwise.
+
+    right_padded=True asserts that segment_ids encodes nothing but trailing
+    padding; under a causal mask real tokens can never attend to trailing
+    pads, so the flash kernel (which has no segment support) stays exact.
+    Packed multi-document rows must keep right_padded=False.
     """
     sq = q.shape[1]
+    flash_safe = segment_ids is None or (causal and right_padded)
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and sq >= 1024 and segment_ids is None
-    if use_flash:
+        use_flash = on_tpu and sq >= 1024 and flash_safe
+    if use_flash and flash_safe:
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, causal=causal, scale=scale)
@@ -113,27 +127,36 @@ def decode_attention_reference(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
-    cache_len: jnp.ndarray,
     *,
+    prompt_lens: jnp.ndarray,
+    write_pos: jnp.ndarray,
+    prompt_pad: int,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Single-step attention against a static-size KV cache.
+    """Single-step attention against the two-region KV cache.
 
     q: (B, H, D) current-token queries
-    k_cache/v_cache: (B, S, K, D); positions >= cache_len are masked out.
-    cache_len: (B,) int32 number of valid cache entries (including current).
+    k_cache/v_cache: (B, K, S, D) head-major. Valid columns per row b:
+    [0, prompt_lens[b]) ∪ [prompt_pad, write_pos] (decoded tokens share one
+    scalar write column per step; the current token sits at write_pos).
     """
     b, h, d = q.shape
-    _, s, kh, _ = k_cache.shape
+    _, kh, s, _ = k_cache.shape
     if scale is None:
         scale = d ** -0.5
     g = h // kh
-    qf = q.astype(jnp.float32).reshape(b, kh, g, d) * scale
-    kf = k_cache.astype(jnp.float32)  # (B, S, K, D)
-    vf = v_cache.astype(jnp.float32)
-    logits = jnp.einsum("bkgd,bskd->bkgs", qf, kf, precision=jax.lax.Precision.HIGHEST)
-    valid = jnp.arange(s)[None, :] < cache_len[:, None]  # (B, S)
+    qf = (q * jnp.asarray(scale, q.dtype)).reshape(b, kh, g, d)
+    logits = jnp.einsum(
+        "bkgd,bksd->bkgs", qf, k_cache, preferred_element_type=jnp.float32
+    )
+    ids = jnp.arange(s)[None, :]
+    valid = (ids < prompt_lens[:, None]) | (
+        (ids >= prompt_pad) & (ids <= write_pos)
+    )  # (B, S)
     logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bkgs,bskd->bkgd", probs, vf, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum(
+        "bkgs,bksd->bkgd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(b, h, d).astype(q.dtype)

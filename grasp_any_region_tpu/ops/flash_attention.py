@@ -1,0 +1,182 @@
+"""Pallas TPU flash attention (causal + GQA) for prefill / full-sequence
+attention.
+
+Replaces the reference's flash-attn 2.7.4 CUDA kernels
+(configs/gar_1b.py:78). Written from the FlashAttention-2 algorithm spec:
+online softmax over K blocks with running (max, sum, acc) in VMEM scratch,
+fp32 accumulation, bf16 MXU matmuls.
+
+Design notes (TPU):
+  * grid = (B*H, Sq/BQ); each program holds one q block and streams k/v
+    blocks of the mapped KV head via an inner fori_loop. K/V for one head sit
+    fully in VMEM ((S<=16k) x 128 x bf16 = <=4 MB each).
+  * GQA is pure index mapping — kv block index = h // (H/K); no repeat/
+    broadcast materialization like repeat_kv in the XLA path.
+  * causal masking prunes whole k blocks: the loop upper bound for q block i
+    is ceil((q_end+1)/BK); the diagonal block gets an element mask.
+  * right-padded batches need no segment mask under causal attention (pad
+    tokens sit after real tokens); packed multi-doc rows should use
+    mha_reference with segment_ids instead.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.0 ** 30
+
+
+def _flash_kernel(
+    q_ref,  # (BQ, D)
+    k_ref,  # (Sk, D)
+    v_ref,  # (Sk, D)
+    o_ref,  # (BQ, D)
+    acc_ref,  # (BQ, D) f32 scratch
+    m_ref,  # (BQ, 128) f32 scratch
+    l_ref,  # (BQ, 128) f32 scratch
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    sk: int,
+    kv_valid: int,
+    q_offset: int,
+):
+    qi = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = qi * block_q + q_offset  # global position of first q row
+    if causal:
+        # last k block that any row of this q block can see
+        num_k = (q_start + block_q - 1) // block_k + 1
+        num_k = jnp.minimum(num_k, pl.cdiv(sk, block_k))
+    else:
+        num_k = pl.cdiv(sk, block_k)
+
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    mask_kv_tail = kv_valid < sk  # static: padded keys need masking
+
+    def body(ki, _):
+        k_blk = k_ref[pl.ds(ki * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        if causal or mask_kv_tail:
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            ok = k_ids < kv_valid
+            if causal:
+                ok = ok & (q_ids >= k_ids)
+            s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # (BQ, 1)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)  # (BQ, BK)
+        alpha = jnp.exp(m_prev - m_cur)  # (BQ, 1)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:, :1] = m_cur
+        return 0
+
+    jax.lax.fori_loop(0, num_k, body, 0)
+    o_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Sk, K, D)
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    _, sk, kh, _ = k.shape
+    assert h % kh == 0
+    group = h // kh
+    if scale is None:
+        scale = d ** -0.5
+    # d=128 kernels blow up Mosaic compile time with big blocks; keep the
+    # working set small there
+    if block_q is None:
+        block_q = 256 if d < 128 else 128
+    if block_k is None:
+        block_k = 512 if d < 128 else 256
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    # pad to block multiples (q padded rows are discarded; k pad is masked by
+    # causality only if causal — for non-causal we must mask pad keys, so we
+    # require divisibility there)
+    pq = (-sq) % block_q
+    pk = (-sk) % block_k
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
+    sq_p, sk_p = sq + pq, sk + pk
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+    khh = k.transpose(0, 2, 1, 3).reshape(b * kh, sk_p, d)
+    vhh = v.transpose(0, 2, 1, 3).reshape(b * kh, sk_p, d)
+
+    # right-aligned causal offset (q may be a suffix of the kv sequence)
+    q_offset = sk - sq
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        sk=sk_p,
+        kv_valid=sk,
+        q_offset=q_offset,
+    )
+
+    grid = (b * h, sq_p // block_q)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, sk_p, d), lambda bh, qi, g=group: (bh // g, 0, 0)),
+            pl.BlockSpec((None, sk_p, d), lambda bh, qi, g=group: (bh // g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, khh, vhh)
+
+    out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
+    return out[:, :sq]

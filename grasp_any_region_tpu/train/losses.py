@@ -41,9 +41,10 @@ def chunked_cross_entropy(
     b, s, d = hidden.shape
     x = rms_norm(hidden, llm_params["final_norm"], cfg.rms_norm_eps)
     head = llm_params.get("lm_head")
-    if head is None:
-        head = llm_params["embed"].T  # (D, V)
-    v = head.shape[-1]
+    tied = head is None
+    if tied:
+        head = llm_params["embed"]  # (V, D) — contracted directly, no transpose
+    v = head.shape[0] if tied else head.shape[-1]
 
     chunk_size = min(chunk_size, s)
     pad = (-s) % chunk_size
@@ -61,8 +62,9 @@ def chunked_cross_entropy(
     def body(carry, xs):
         total, count = carry
         xc, lc = xs  # (B, C, D), (B, C)
+        eq = "bcd,vd->bcv" if tied else "bcd,dv->bcv"
         logits = jnp.einsum(
-            "bcd,dv->bcv", xc, head.astype(xc.dtype),
+            eq, xc, head.astype(xc.dtype),
             preferred_element_type=jnp.float32,
         )
         if vocab_ok is not None:

@@ -124,7 +124,7 @@ def test_decode_matches_teacher_forcing(rng):
     hidden = None
     for step in range(s_prompt, s_total):
         emb = embeds[:, step : step + 1]
-        hidden, cache = llama_decode_step(params, cfg, emb, cache)
+        hidden, cache = llama_decode_step(params, cfg, emb, cache, s_prompt)
         step_logits = lm_logits(params, cfg, hidden[:, 0], valid_vocab=CFG.extended_vocab_size)
         np.testing.assert_allclose(
             _np(step_logits), _np(full_logits[:, step]), rtol=2e-3, atol=2e-3,

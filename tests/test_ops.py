@@ -256,14 +256,17 @@ def test_decode_attention_matches_full(rng):
     k = rng.standard_normal((b, s, kh, d)).astype(np.float32)
     v = rng.standard_normal((b, s, kh, d)).astype(np.float32)
     full = _np_attention(q_full, k, v, causal=True)
-    cache_k = np.zeros((b, 16, kh, d), np.float32)
-    cache_v = np.zeros((b, 16, kh, d), np.float32)
-    cache_k[:, :s] = k
-    cache_v[:, :s] = v
+    # head-major cache (B, K, S_max, D); all s tokens in the prompt block
+    cache_k = np.zeros((b, kh, 16, d), np.float32)
+    cache_v = np.zeros((b, kh, 16, d), np.float32)
+    cache_k[:, :, :s] = k.transpose(0, 2, 1, 3)
+    cache_v[:, :, :s] = v.transpose(0, 2, 1, 3)
     got = decode_attention_reference(
-        jnp.asarray(q_full[:, -1]).transpose(0, 2, 1) if False else jnp.asarray(q_full[:, -1]),
+        jnp.asarray(q_full[:, -1]),
         jnp.asarray(cache_k), jnp.asarray(cache_v),
-        cache_len=jnp.full((b,), s, jnp.int32),
+        prompt_lens=jnp.full((b,), s, jnp.int32),
+        write_pos=jnp.asarray(s - 1, jnp.int32),
+        prompt_pad=s,
     )
     np.testing.assert_allclose(np.asarray(got), full[:, -1], rtol=1e-4, atol=1e-5)
 
