@@ -1,0 +1,193 @@
+"""Model-input builders: (image, masks, question) -> GARBatch.
+
+Host-side equivalents of evaluation/eval_dataset.py's
+SingleRegionCaptionDataset / MultiRegionDataset, producing static-shape
+batches (tile bucket + sequence bucket padding) ready for the jitted
+prefill/generate functions. Unlike the reference (one sample at a time,
+batch_size=1 enforced), any number of samples batch together.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.config import GARConfig
+from ..models.gar import GARBatch
+from .chat import ChatMessage, apply_chat_template, find_crop_runs, mask_labels
+from .image_processor import GARImageProcessor, ImageProcessorConfig
+from .prompts import (
+    bbox_from_mask,
+    multi_region_question,
+    rasterize_prompts,
+    single_region_question,
+)
+from .tokenizer import GARTokenizer
+
+SEQ_BUCKET = 128  # pad prompt length up to a multiple (static-shape reuse)
+
+
+@dataclass
+class RegionSample:
+    """One inference request.
+
+    image: (H, W, 3) uint8 RGB
+    masks: prompt_id -> (H, W) binary mask
+    question: text containing <PromptK> references (multi-region), or None to
+        use the canonical single-region caption question for the single mask.
+    instruction: single-region instruction override.
+    """
+
+    image: np.ndarray
+    masks: Dict[int, np.ndarray]
+    question: Optional[str] = None
+    instruction: str = "Describe this masked region in detail."
+
+
+def build_sample(
+    cfg: GARConfig,
+    tok: GARTokenizer,
+    proc: GARImageProcessor,
+    sample: RegionSample,
+    *,
+    reference_bbox_compat: bool = False,
+) -> dict:
+    """Preprocess one sample into unpadded arrays.
+
+    reference_bbox_compat reproduces the reference multi-region bug where all
+    bboxes come from the LAST mask (a stale loop variable,
+    eval_dataset.py:243-246) — needed only for bit-exact output parity.
+    """
+    img = np.asarray(sample.image)
+    h, w = img.shape[:2]
+    masks = {pid: np.asarray(m) for pid, m in sample.masks.items()}
+    for pid, m in masks.items():
+        assert m.shape[:2] == (h, w), f"mask {pid} shape {m.shape} != image {(h, w)}"
+
+    if sample.question is None:
+        assert len(masks) == 1, "single-region path expects exactly one mask"
+        pid = next(iter(masks))
+        text = single_region_question(pid, sample.instruction)
+        order = [pid]
+    else:
+        text, order = multi_region_question(sample.question)
+        assert set(order) == set(masks), (
+            f"question references prompts {order} but masks given for {sorted(masks)}"
+        )
+
+    vp = rasterize_prompts(masks, h, w, cfg.prompt_numbers)
+    pre = proc.preprocess(img, vp, max_num_tiles=cfg.max_num_tiles)
+    n_tiles = pre["num_tiles"]
+
+    msgs = [ChatMessage(role="user", content=tok.image_token + text)]
+    ids = apply_chat_template(
+        tok, msgs, add_generation_prompt=True,
+        num_tiles_per_image=[n_tiles], tokens_per_tile=cfg.tokens_per_tile,
+    )
+    ids = np.asarray(ids, np.int32)
+
+    runs = find_crop_runs(ids, cfg.crop_token_ids)
+    bboxes = np.zeros((len(runs), 4), np.float32)
+    replay_pos = np.zeros((len(runs),), np.int32)
+    last_pid = max(masks) if masks else 0
+    for i, (pid, start, length) in enumerate(runs):
+        assert length == cfg.tokens_per_tile == 256, f"crop run {length} != 256"
+        src = masks[last_pid] if reference_bbox_compat else masks[pid]
+        bboxes[i] = bbox_from_mask(src)
+        replay_pos[i] = start
+
+    return {
+        "input_ids": ids,
+        "pixel_values": pre["pixel_values"],
+        "mask_values": pre["mask_values"],
+        "aspect_ratio": np.asarray(pre["aspect_ratio"], np.int32),
+        "num_tiles": n_tiles,
+        "bboxes": bboxes,
+        "replay_pos": replay_pos,
+    }
+
+
+def collate_samples(
+    cfg: GARConfig,
+    samples: Sequence[dict],
+    *,
+    pad_id: int = 0,
+    max_regions: Optional[int] = None,
+    seq_bucket: int = SEQ_BUCKET,
+    with_labels: bool = False,
+) -> Tuple[GARBatch, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Pad per-sample arrays to the batch's static shapes.
+
+    Returns (GARBatch, prompt_lens, labels or None). Right padding throughout
+    (mirrors custom_collect_fn.py:67-87; sequence bucketing replaces its
+    sequence-parallel pad, :89-94).
+    """
+    b = len(samples)
+    r_max = max_regions or cfg.prompt_numbers
+    t_bucket = 1 + cfg.max_num_tiles
+    s_max = max(len(s["input_ids"]) for s in samples)
+    s_pad = ((s_max + seq_bucket - 1) // seq_bucket) * seq_bucket
+    ts = cfg.tile_size
+
+    input_ids = np.full((b, s_pad), pad_id, np.int32)
+    positions = np.zeros((b, s_pad), np.int32)
+    segs = np.zeros((b, s_pad), np.int32)
+    labels = np.full((b, s_pad), -100, np.int32)
+    pix = np.zeros((b, t_bucket, 3, ts, ts), np.float32)
+    msk = np.zeros((b, t_bucket, 3, ts, ts), np.float32)
+    aspect = np.ones((b, 2), np.int32)
+    bboxes = np.zeros((b, r_max, 4), np.float32)
+    rpos = np.zeros((b, r_max), np.int32)
+    rvalid = np.zeros((b, r_max), bool)
+    ntiles = np.zeros((b,), np.int32)
+    plens = np.zeros((b,), np.int32)
+
+    for i, s in enumerate(samples):
+        n = len(s["input_ids"])
+        input_ids[i, :n] = s["input_ids"]
+        positions[i, :n] = np.arange(n)
+        positions[i, n:] = max(n - 1, 0)
+        segs[i, :n] = 1
+        if with_labels:
+            labels[i, :n] = mask_labels(s["input_ids"])
+        t = s["pixel_values"].shape[0]
+        pix[i, :t] = s["pixel_values"]
+        if s.get("mask_values") is not None:
+            msk[i, :t] = s["mask_values"]
+        aspect[i] = s["aspect_ratio"]
+        r = len(s["replay_pos"])
+        assert r <= r_max
+        bboxes[i, :r] = s["bboxes"]
+        rpos[i, :r] = s["replay_pos"]
+        rvalid[i, :r] = True
+        ntiles[i] = s["num_tiles"]
+        plens[i] = n
+
+    batch = GARBatch(
+        input_ids=jnp.asarray(input_ids),
+        positions=jnp.asarray(positions),
+        segment_ids=jnp.asarray(segs),
+        pixel_values=jnp.asarray(pix),
+        mask_values=jnp.asarray(msk),
+        aspect_ratio=jnp.asarray(aspect),
+        bboxes=jnp.asarray(bboxes),
+        replay_pos=jnp.asarray(rpos),
+        replay_valid=jnp.asarray(rvalid),
+        num_tiles=jnp.asarray(ntiles),
+    )
+    return batch, jnp.asarray(plens), (jnp.asarray(labels) if with_labels else None)
+
+
+def build_region_batch(
+    cfg: GARConfig,
+    tok: GARTokenizer,
+    proc: GARImageProcessor,
+    samples: Sequence[RegionSample],
+    **collate_kw,
+) -> Tuple[GARBatch, jnp.ndarray]:
+    built = [build_sample(cfg, tok, proc, s) for s in samples]
+    batch, plens, _ = collate_samples(cfg, built, **collate_kw)
+    return batch, plens
