@@ -1,0 +1,103 @@
+"""Train CLI.
+
+Equivalent surface to `bash tools/dist.sh train configs/gar_1b.py N` +
+tools/train.py, minus torchrun/mmengine: one process per host, XLA handles
+the chips.
+
+  python -m grasp_any_region_tpu.cli.train --preset gar_1b \
+      --data data/Seed-Dataset.json --work-dir work_dirs/gar_1b \
+      --fsdp 4 --tensor 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="gar_1b")
+    p.add_argument("--config", default=None, help="config json overriding preset")
+    p.add_argument("--data", action="append", required=True)
+    p.add_argument("--work-dir", default="./work_dirs/gar")
+    p.add_argument("--init-from", default=None, help="checkpoint dir to start from")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--accumulation", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--warmup-ratio", type=float, default=0.03)
+    p.add_argument("--freeze-llm", action="store_true")
+    p.add_argument("--freeze-vision", action="store_true")
+    p.add_argument("--data-axis", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining devices")
+    p.add_argument("--tensor", type=int, default=1)
+    p.add_argument("--seq", type=int, default=1)
+    p.add_argument("--export-hf", default=None, help="export dir after training")
+    p.add_argument("--no-save-optimizer", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..core.cache import enable_compilation_cache
+    from ..core.config import PRESETS, load_config
+    from ..core.mesh import MeshSpec
+    from ..data.dataset import DatasetConfig, GraspAnyRegionDataset
+    from ..data.tokenizer import GARTokenizer
+    from ..models import init_gar_params
+    from ..train.optimizer import OptimizerConfig
+    from ..train.trainer import Trainer, TrainerConfig
+
+    enable_compilation_cache()
+    cfg = load_config(args.config) if args.config else PRESETS[args.preset]()
+
+    if args.init_from:
+        from ..core.weights import load_checkpoint
+
+        cfg, params = load_checkpoint(args.init_from)
+        tok_file = f"{args.init_from}/tokenizer.json"
+        import os
+
+        tok = (
+            GARTokenizer.from_file(tok_file, cfg.prompt_numbers)
+            if os.path.exists(tok_file)
+            else GARTokenizer.synthetic(cfg.prompt_numbers)
+        )
+    else:
+        params = init_gar_params(jax.random.PRNGKey(0), cfg)
+        tok = GARTokenizer.synthetic(cfg.prompt_numbers)
+
+    dataset = GraspAnyRegionDataset(
+        cfg, tok, DatasetConfig(annotation_paths=args.data)
+    )
+    n_dev = len(jax.devices())
+    fsdp = args.fsdp or max(1, n_dev // (args.data_axis * args.tensor * args.seq))
+    mesh = MeshSpec(data=args.data_axis, fsdp=fsdp, tensor=args.tensor, seq=args.seq)
+    total_steps = args.max_steps or len(dataset)
+    opt_cfg = OptimizerConfig(
+        lr=args.lr,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=total_steps,
+        accumulation=args.accumulation,
+        freeze_llm=args.freeze_llm,
+        freeze_visual_encoder=args.freeze_vision,
+    )
+    tcfg = TrainerConfig(
+        work_dir=args.work_dir,
+        max_steps=args.max_steps,
+        batch_size=args.batch_size,
+        mesh=mesh if mesh.size > 1 else None,
+        save_optimizer=not args.no_save_optimizer,
+    )
+    trainer = Trainer(cfg, params, dataset, opt_cfg, tcfg)
+    state = trainer.train()
+
+    if args.export_hf:
+        from ..train.export import export_hf_checkpoint
+
+        export_hf_checkpoint(args.export_hf, cfg, jax.device_get(state.params))
+        print(f"[trainer] exported HF checkpoint to {args.export_hf}")
+
+
+if __name__ == "__main__":
+    main()

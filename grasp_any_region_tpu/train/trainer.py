@@ -1,0 +1,116 @@
+"""Training orchestration: the loop that replaces mmengine Runner + xtuner.
+
+Capabilities mirrored from the reference harness (SURVEY.md §3.1):
+  * 1-epoch (or step-capped) loop over GraspAnyRegionDataset
+  * length-grouped shuffling, per-device batch, grad accumulation
+  * warmup+cosine schedule, grad clip, bf16 (no loss scaling on TPU)
+  * iter timing + loss logging every N steps (IterTimer/LoggerHook)
+  * periodic orbax checkpoints, keep-K, resume
+  * final HF-format export
+
+Distribution: pjit over the (data, fsdp, tensor, seq) mesh instead of
+DDP+ZeRO-2+torchrun; host data loading feeds shard_batch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+
+from ..core.config import GARConfig
+from ..core.mesh import MeshSpec, make_mesh
+from ..data.builders import collate_samples
+from ..data.dataset import DatasetConfig, GraspAnyRegionDataset, length_grouped_indices
+from ..data.tokenizer import GARTokenizer
+from .checkpoints import CheckpointManager
+from .optimizer import OptimizerConfig
+from .step import init_sharded_state, make_train_step, shard_batch
+
+
+@dataclass
+class TrainerConfig:
+    work_dir: str = "./work_dirs/gar"
+    max_steps: Optional[int] = None  # None = 1 epoch
+    batch_size: int = 1  # per step (global)
+    log_interval: int = 100  # LoggerHook(interval=100)
+    save_interval: int = 5000  # CheckpointHook(interval=5000)
+    max_keep_ckpts: int = 2
+    save_optimizer: bool = True
+    seed: int = 42
+    mesh: Optional[MeshSpec] = None
+    resume: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: GARConfig,
+        params,
+        dataset: GraspAnyRegionDataset,
+        opt_cfg: OptimizerConfig,
+        tcfg: TrainerConfig,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.tcfg = tcfg
+        self.mesh = make_mesh(tcfg.mesh) if tcfg.mesh else None
+        if self.mesh is not None:
+            dp = tcfg.mesh.data * tcfg.mesh.fsdp
+            if tcfg.batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size {tcfg.batch_size} must be divisible by "
+                    f"data*fsdp = {tcfg.mesh.data}*{tcfg.mesh.fsdp} = {dp} "
+                    "(the batch axis shards over both)"
+                )
+        self.state, self.tx = init_sharded_state(params, opt_cfg, mesh=self.mesh)
+        self.step_fn = make_train_step(cfg, self.tx)
+        self.ckpt = CheckpointManager(
+            tcfg.work_dir,
+            save_interval=tcfg.save_interval,
+            max_to_keep=tcfg.max_keep_ckpts,
+            save_optimizer=tcfg.save_optimizer,
+        )
+        if tcfg.resume:
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                print(f"[trainer] resumed from step {int(self.state.step)}")
+
+    def _epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
+        lengths = self.dataset.modality_lengths()
+        return length_grouped_indices(lengths, self.tcfg.batch_size, rng)
+
+    def train(self):
+        t = self.tcfg
+        rng = np.random.default_rng(t.seed)
+        order = self._epoch_indices(rng)
+        max_steps = t.max_steps or (len(order) // t.batch_size)
+        start_step = int(self.state.step)
+
+        it_times = []
+        t_last = time.time()
+        for step in range(start_step, max_steps):
+            lo = (step * t.batch_size) % max(1, len(order) - t.batch_size + 1)
+            samples = [self.dataset[int(i)] for i in order[lo : lo + t.batch_size]]
+            batch, _, labels = collate_samples(self.cfg, samples, with_labels=True)
+            if self.mesh is not None:
+                batch, labels = shard_batch(batch, labels, self.mesh)
+            self.state, metrics = self.step_fn(self.state, batch, labels)
+
+            it_times.append(time.time() - t_last)
+            t_last = time.time()
+            if (step + 1) % t.log_interval == 0 or step == start_step:
+                loss = float(metrics["loss"])
+                gnorm = float(metrics["grad_norm"])
+                print(
+                    f"[trainer] step {step + 1}/{max_steps} "
+                    f"loss {loss:.4f} grad_norm {gnorm:.3f} "
+                    f"iter {np.mean(it_times[-t.log_interval:]):.2f}s"
+                )
+            self.ckpt.maybe_save(step + 1, self.state)
+        self.ckpt.wait()
+        return self.state
