@@ -107,3 +107,47 @@ def decode_any(rle_or_list: Union[Dict, List[Dict]]) -> List[np.ndarray]:
     if isinstance(rle_or_list, dict):
         return [decode_rle(rle_or_list)]
     return [decode_rle(r) for r in rle_or_list]
+
+
+def polygon_to_mask(polygons: List[List[float]], height: int, width: int) -> np.ndarray:
+    """COCO polygon segmentation -> (H, W) binary mask.
+
+    Replaces pycocotools frPyObjects+merge+decode (Ferret-Bench/inference.py
+    :68-72). Even-odd scanline fill at pixel centers, union over polygon
+    parts. Boundary pixels may differ from pycocotools by <=1 px (COCO
+    rasterizes a 5x-upsampled boundary), which is below the 28-px feature
+    granularity the masks feed into.
+    """
+    mask = np.zeros((height, width), np.uint8)
+    ys = np.arange(height) + 0.5
+    for poly in polygons:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)  # (N, 2) x,y
+        if len(pts) < 3:
+            continue
+        x0 = pts[:, 0]
+        y0 = pts[:, 1]
+        x1 = np.roll(x0, -1)
+        y1 = np.roll(y0, -1)
+        # for each scanline, find x-crossings of each edge
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # edge crosses scanline yc if min(y0,y1) <= yc < max(y0,y1)
+            cond = ((y0[None, :] <= ys[:, None]) & (y1[None, :] > ys[:, None])) | (
+                (y1[None, :] <= ys[:, None]) & (y0[None, :] > ys[:, None])
+            )
+            t = (ys[:, None] - y0[None, :]) / (y1[None, :] - y0[None, :])
+            xs = x0[None, :] + t * (x1[None, :] - x0[None, :])
+        for row in range(height):
+            cross = np.sort(xs[row][cond[row]])
+            for a, b in zip(cross[0::2], cross[1::2]):
+                lo = int(np.ceil(a - 0.5))
+                hi = int(np.ceil(b - 0.5))
+                if hi > lo:
+                    mask[row, max(lo, 0) : min(hi, width)] = 1
+    return mask
+
+
+def segmentation_to_mask(seg, height: int, width: int) -> np.ndarray:
+    """Any COCO segmentation (RLE dict, uncompressed dict, or polygon list)."""
+    if isinstance(seg, dict):
+        return decode_rle(seg)
+    return polygon_to_mask(seg, height, width)

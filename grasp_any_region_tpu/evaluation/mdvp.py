@@ -1,0 +1,66 @@
+"""MDVP-Bench inference: single-region detailed captions across 6 domains.
+
+Mirrors MDVP-Bench/inference.py (:108-160): each item has one RLE mask and a
+GT caption; output records (image_path, caption, gt). transfer() reshapes
+predictions into (question, answer, prediction) triplets for the pairwise
+GPT judge (transfer.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..data.builders import RegionSample
+from ..data.rle import decode_rle
+from .engine import BatchedCaptioner, write_outputs
+
+
+def run_mdvp(
+    captioner: BatchedCaptioner,
+    anno_file: str,
+    image_folder: str,
+    out_path: str,
+    limit: Optional[int] = None,
+) -> List[dict]:
+    from PIL import Image
+
+    with open(anno_file) as f:
+        items = json.load(f)
+    if limit:
+        items = items[:limit]
+    samples = []
+    for it in items:
+        img = np.asarray(
+            Image.open(os.path.join(image_folder, it["image_path"])).convert("RGB")
+        )
+        samples.append(RegionSample(image=img, masks={1: decode_rle(it["mask_rle"])}))
+    outputs = captioner.run(samples)
+    results = [
+        {
+            "image_path": it["image_path"],
+            "dataset_name": it.get("dataset_name"),
+            "caption": out.replace("<|eot_id|>", "").strip(),
+            "gt": it["caption"],
+        }
+        for it, out in zip(items, outputs)
+    ]
+    write_outputs(out_path, results)
+    return results
+
+
+def transfer(results: List[dict], question: str = "Describe this masked region in detail.") -> List[dict]:
+    """Prediction file -> judge triplets (MDVP-Bench/transfer.py)."""
+    return [
+        {
+            "image_path": r["image_path"],
+            "dataset_name": r.get("dataset_name"),
+            "question": question,
+            "answer": r["gt"],
+            "prediction": r["caption"],
+        }
+        for r in results
+    ]
