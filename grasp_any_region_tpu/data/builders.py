@@ -31,6 +31,22 @@ SEQ_BUCKET = 128  # pad prompt length up to a multiple (static-shape reuse)
 
 
 @dataclass
+class VideoRegionSample:
+    """Video region QA request (zero-shot video region understanding,
+    SURVEY.md §0: per-frame crop tokens reserved_{2+frame_idx},
+    modeling_perception_lm.py:765-852).
+
+    frames: list of (H, W, 3) uint8 RGB frames (sampled)
+    masks: frame_idx -> (H, W) binary mask of the tracked region in that frame
+    question: free-form question about the region
+    """
+
+    frames: List[np.ndarray]
+    masks: Dict[int, np.ndarray]
+    question: str = "Describe this masked region in detail."
+
+
+@dataclass
 class RegionSample:
     """One inference request.
 
@@ -127,7 +143,8 @@ def collate_samples(
     """
     b = len(samples)
     r_max = max_regions or cfg.prompt_numbers
-    t_bucket = 1 + cfg.max_num_tiles
+    t_bucket = max(1 + cfg.max_num_tiles,
+                   max(s["pixel_values"].shape[0] for s in samples))
     s_max = max(len(s["input_ids"]) for s in samples)
     s_pad = ((s_max + seq_bucket - 1) // seq_bucket) * seq_bucket
     ts = cfg.tile_size
@@ -144,6 +161,8 @@ def collate_samples(
     rvalid = np.zeros((b, r_max), bool)
     ntiles = np.zeros((b,), np.int32)
     plens = np.zeros((b,), np.int32)
+    has_video = any("replay_tile" in s for s in samples)
+    rtile = np.zeros((b, r_max), np.int32)
 
     for i, s in enumerate(samples):
         n = len(s["input_ids"])
@@ -163,6 +182,8 @@ def collate_samples(
         bboxes[i, :r] = s["bboxes"]
         rpos[i, :r] = s["replay_pos"]
         rvalid[i, :r] = True
+        if "replay_tile" in s:
+            rtile[i, :r] = s["replay_tile"]
         ntiles[i] = s["num_tiles"]
         plens[i] = n
 
@@ -177,8 +198,84 @@ def collate_samples(
         replay_pos=jnp.asarray(rpos),
         replay_valid=jnp.asarray(rvalid),
         num_tiles=jnp.asarray(ntiles),
+        replay_tile=jnp.asarray(rtile) if has_video else None,
     )
     return batch, jnp.asarray(plens), (jnp.asarray(labels) if with_labels else None)
+
+
+def build_video_sample(
+    cfg: GARConfig,
+    tok: GARTokenizer,
+    proc: GARImageProcessor,
+    sample: VideoRegionSample,
+) -> dict:
+    """Preprocess one video sample: frames are single 448x448 tiles (no
+    thumb+tile), placeholders use <|video|>, one crop run per annotated
+    frame."""
+    from ..core.config import VIDEO_TOKEN_ID
+    from .tokenizer import reserved_special_token
+
+    frames = [np.asarray(f) for f in sample.frames]
+    n_frames = len(frames)
+    ts = proc.config.tile_size
+    pix = []
+    for f in frames:
+        out = proc.preprocess(f, max_num_tiles=1)
+        pix.append(out["pixel_values"][0])  # thumbnail == the single tile
+    pixel_values = np.stack(pix)  # (F, 3, T, T)
+
+    # question: one crop run per annotated frame, then the question text
+    runs_text = ""
+    for fi in sorted(sample.masks):
+        assert 0 <= fi < n_frames
+        runs_text += (
+            f"Frame {fi}: {reserved_special_token(fi) * 256}\n"
+        )
+    text = runs_text + sample.question
+
+    msgs = [ChatMessage(role="user", content="<|video|>" + text)]
+    ids = apply_chat_template(tok, msgs, add_generation_prompt=True)
+    # expand the single video placeholder to frames * tokens_per_tile
+    ids_np = np.asarray(ids, np.int32)
+    vid_pos = int(np.nonzero(ids_np == VIDEO_TOKEN_ID)[0][0])
+    expanded = np.concatenate([
+        ids_np[:vid_pos],
+        np.full(n_frames * cfg.tokens_per_tile, VIDEO_TOKEN_ID, np.int32),
+        ids_np[vid_pos + 1:],
+    ])
+
+    runs = find_crop_runs(expanded, cfg.crop_token_ids)
+    bboxes = np.zeros((len(runs), 4), np.float32)
+    replay_pos = np.zeros((len(runs),), np.int32)
+    replay_tile = np.zeros((len(runs),), np.int32)
+    for i, (pid, start, length) in enumerate(runs):
+        assert length == 256
+        bboxes[i] = bbox_from_mask(np.asarray(sample.masks[pid]))
+        replay_pos[i] = start
+        replay_tile[i] = pid  # frame index == crop slot index
+
+    return {
+        "input_ids": expanded,
+        "pixel_values": pixel_values,
+        "mask_values": np.zeros_like(pixel_values),
+        "aspect_ratio": np.asarray([1, 1], np.int32),
+        "num_tiles": n_frames,
+        "bboxes": bboxes,
+        "replay_pos": replay_pos,
+        "replay_tile": replay_tile,
+    }
+
+
+def build_video_batch(
+    cfg: GARConfig,
+    tok: GARTokenizer,
+    proc: GARImageProcessor,
+    samples: Sequence[VideoRegionSample],
+    **collate_kw,
+) -> Tuple[GARBatch, jnp.ndarray]:
+    built = [build_video_sample(cfg, tok, proc, s) for s in samples]
+    batch, plens, _ = collate_samples(cfg, built, **collate_kw)
+    return batch, plens
 
 
 def build_region_batch(

@@ -70,6 +70,8 @@ class GARBatch(NamedTuple):
     replay_pos: jnp.ndarray
     replay_valid: jnp.ndarray
     num_tiles: jnp.ndarray
+    # video mode only: frame index of each region's crop run (image mode: None)
+    replay_tile: Optional[jnp.ndarray] = None
 
 
 def init_gar_params(rng: jax.Array, cfg: GARConfig, dtype=jnp.float32) -> dict:
@@ -140,17 +142,21 @@ def scatter_image_features(
     input_ids: jnp.ndarray,  # (S,)
     token_embeds: jnp.ndarray,  # (S, D)
     image_features: jnp.ndarray,  # (T, tok, D) valid tiles first
-    image_token_id: int,
+    media_token_id,
 ) -> jnp.ndarray:
-    """Order-preserving scatter: j-th image placeholder <- j-th feature row.
+    """Order-preserving scatter: j-th media placeholder <- j-th feature row.
 
     Static-shape equivalent of masked_scatter (grasp_any_region.py:284-289).
     Valid tiles occupy a prefix of image_features, and input_ids contains
     exactly (valid tiles * tok) placeholders, so order alignment is exact.
+    media_token_id: int or tuple of ints (image and/or video placeholder).
     """
     t, tok, d = image_features.shape
     flat = image_features.reshape(t * tok, d)
-    is_img = input_ids == image_token_id
+    ids = (media_token_id,) if isinstance(media_token_id, int) else tuple(media_token_id)
+    is_img = jnp.zeros(input_ids.shape, bool)
+    for mid in ids:
+        is_img = is_img | (input_ids == mid)
     idx = jnp.clip(jnp.cumsum(is_img) - 1, 0, t * tok - 1)
     return jnp.where(is_img[:, None], flat[idx].astype(token_embeds.dtype), token_embeds)
 
@@ -164,8 +170,14 @@ def build_prefill_embeds(
     double_scale_compat: bool = True,
     remat: bool = False,
     compute_dtype=jnp.bfloat16,
+    video_mode: bool = False,
 ) -> jnp.ndarray:
-    """Token embeds + image scatter + feature replay -> (B, S, Dt)."""
+    """Token embeds + media scatter + feature replay -> (B, S, Dt).
+
+    video_mode: pixel_values rows are FRAMES (no thumbnail), placeholders use
+    video_token_id, and replay samples each region's own frame
+    (batch.replay_tile) instead of the merged tile grid.
+    """
     b, t = batch.pixel_values.shape[:2]
     pix = batch.pixel_values.reshape((b * t,) + batch.pixel_values.shape[2:])
     msk = batch.mask_values.reshape((b * t,) + batch.mask_values.shape[2:])
@@ -177,15 +189,25 @@ def build_prefill_embeds(
 
     tok_embeds = embed_tokens(params["llm"], batch.input_ids, compute_dtype)
 
+    media_ids = cfg.video_token_id if video_mode else cfg.image_token_id
     embeds = jax.vmap(
-        lambda ids, te, f: scatter_image_features(ids, te, f, cfg.image_token_id)
+        lambda ids, te, f: scatter_image_features(ids, te, f, media_ids)
     )(batch.input_ids, tok_embeds, feats)
 
-    replay = jax.vmap(
-        lambda f, ar, bx: replay_features(
-            cfg, f, ar, bx, double_scale_compat=double_scale_compat
-        )
-    )(feats, batch.aspect_ratio, batch.bboxes)  # (B, R, 256, Dt)
+    if video_mode:
+        from .replay import replay_features_video
+
+        replay = jax.vmap(
+            lambda f, fi, bx: replay_features_video(
+                cfg, f, fi, bx, double_scale_compat=double_scale_compat
+            )
+        )(feats, batch.replay_tile, batch.bboxes)
+    else:
+        replay = jax.vmap(
+            lambda f, ar, bx: replay_features(
+                cfg, f, ar, bx, double_scale_compat=double_scale_compat
+            )
+        )(feats, batch.aspect_ratio, batch.bboxes)  # (B, R, 256, Dt)
 
     return scatter_replay(embeds, replay, batch.replay_pos, batch.replay_valid)
 
@@ -200,12 +222,13 @@ def gar_prefill(
     remat: bool = False,
     compute_dtype=jnp.bfloat16,
     use_flash: Optional[bool] = None,
+    video_mode: bool = False,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Full multimodal prefill. Returns (hidden (B,S,D), (k,v) per layer)."""
     embeds = build_prefill_embeds(
         params, cfg, batch,
         mask_compat=mask_compat, double_scale_compat=double_scale_compat,
-        remat=remat, compute_dtype=compute_dtype,
+        remat=remat, compute_dtype=compute_dtype, video_mode=video_mode,
     )
     return llama_prefill(
         params["llm"], cfg.text, embeds, batch.positions,

@@ -43,6 +43,7 @@ def _sample(logits: jnp.ndarray, rng: Optional[jax.Array], temperature: float) -
         "mask_compat",
         "double_scale_compat",
         "use_flash",
+        "video_mode",
     ),
 )
 def generate(
@@ -59,12 +60,13 @@ def generate(
     mask_compat: bool = True,
     double_scale_compat: bool = True,
     use_flash: Optional[bool] = None,
+    video_mode: bool = False,
 ) -> GenerationResult:
     b, s = batch.input_ids.shape
     hidden, kv = gar_prefill(
         params, cfg, batch,
         mask_compat=mask_compat, double_scale_compat=double_scale_compat,
-        use_flash=use_flash,
+        use_flash=use_flash, video_mode=video_mode,
     )
     last_hidden = hidden[jnp.arange(b), prompt_lens - 1]  # (B, D)
     logits0 = lm_logits(

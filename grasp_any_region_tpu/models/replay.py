@@ -128,6 +128,84 @@ def roi_align_tiled(
     return out
 
 
+def roi_align_per_region(
+    maps: jnp.ndarray,  # (R, side, side, D) — one feature map per region
+    boxes: jnp.ndarray,  # (R, 4) in feature coords
+    *,
+    pooled: int = REPLAY_SIDE,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """RoIAlign(aligned=True) where each region samples its OWN map (the
+    video path: one 16x16 map per frame, modeling_perception_lm.py:776-816).
+    Returns (R, pooled, pooled, D) fp32."""
+    r, side, _, d = maps.shape
+    flat = maps.reshape(r, side * side, d).astype(jnp.float32)
+    ys, xs = _roi_sample_coords(boxes.astype(jnp.float32), pooled, sampling_ratio)
+    out = jnp.zeros((r, pooled, pooled, d), jnp.float32)
+    inv_count = 1.0 / (sampling_ratio * sampling_ratio)
+    fdim = jnp.float32(side)
+    ridx = jnp.arange(r)[:, None, None]
+
+    def gather(yy, xx):
+        idx = jnp.clip(yy * side + xx, 0, side * side - 1)
+        return flat[ridx, idx]  # (R, pooled, pooled, D)
+
+    for iy in range(sampling_ratio):
+        for ix in range(sampling_ratio):
+            y = jnp.broadcast_to(ys[:, :, iy][:, :, None], (r, pooled, pooled))
+            x = jnp.broadcast_to(xs[:, :, ix][:, None, :], (r, pooled, pooled))
+            oob = (y < -1.0) | (y > fdim) | (x < -1.0) | (x > fdim)
+            yc = jnp.maximum(y, 0.0)
+            xc = jnp.maximum(x, 0.0)
+            y_low = jnp.floor(yc).astype(jnp.int32)
+            x_low = jnp.floor(xc).astype(jnp.int32)
+            y_clamp = y_low >= side - 1
+            x_clamp = x_low >= side - 1
+            y_low = jnp.where(y_clamp, side - 1, y_low)
+            x_low = jnp.where(x_clamp, side - 1, x_low)
+            y_high = jnp.where(y_clamp, side - 1, y_low + 1)
+            x_high = jnp.where(x_clamp, side - 1, x_low + 1)
+            yc = jnp.where(y_clamp, y_low.astype(yc.dtype), yc)
+            xc = jnp.where(x_clamp, x_low.astype(xc.dtype), xc)
+            ly = yc - y_low
+            lx = xc - x_low
+            hy = 1.0 - ly
+            hx = 1.0 - lx
+            w1 = jnp.where(oob, 0.0, hy * hx) * inv_count
+            w2 = jnp.where(oob, 0.0, hy * lx) * inv_count
+            w3 = jnp.where(oob, 0.0, ly * hx) * inv_count
+            w4 = jnp.where(oob, 0.0, ly * lx) * inv_count
+            out = out + w1[..., None] * gather(y_low, x_low)
+            out = out + w2[..., None] * gather(y_low, x_high)
+            out = out + w3[..., None] * gather(y_high, x_low)
+            out = out + w4[..., None] * gather(y_high, x_high)
+    return out
+
+
+def replay_features_video(
+    cfg: GARConfig,
+    frame_features: jnp.ndarray,  # (F, 256, Dt): one entry per frame
+    frame_idx: jnp.ndarray,  # (R,) int32 frame of each region's crop run
+    bboxes: jnp.ndarray,  # (R, 4) normalized
+    *,
+    double_scale_compat: bool = True,
+) -> jnp.ndarray:
+    """Video feature replay: region r samples frame frame_idx[r]'s 16x16 map
+    (modeling_perception_lm.py:765-830; feat is always 16x16, orig = 16*28).
+    Returns (R, 256, Dt) fp32."""
+    side = REPLAY_SIDE
+    f, n, dt = frame_features.shape
+    assert n == side * side
+    grid = frame_features.reshape(f, side, side, dt)
+    maps = grid[jnp.clip(frame_idx, 0, f - 1)]  # (R, side, side, Dt)
+    feat = jnp.float32(side)
+    boxes_feat = bboxes.astype(jnp.float32) * feat
+    if double_scale_compat:
+        boxes_feat = boxes_feat / PIXELS_PER_POOLED_TOKEN
+    rois = roi_align_per_region(maps, boxes_feat)
+    return rois.reshape(-1, side * side, dt)
+
+
 def replay_features(
     cfg: GARConfig,
     image_features: jnp.ndarray,  # (1+T, 256, Dt): thumbnail + T tiles

@@ -1,0 +1,104 @@
+"""Pallas kernel tests in interpreter mode (run on CPU; the same kernels were
+also validated compiled on the real chip — see .claude/skills/verify)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _np_attention(q, k, v, causal):
+    q = q.astype(np.float32); k = k.astype(np.float32); v = v.astype(np.float32)
+    b, sq, h, d = q.shape
+    sk, kh = k.shape[1], k.shape[2]
+    rep = h // kh
+    k = np.repeat(k, rep, axis=2)
+    v = np.repeat(v, rep, axis=2)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+    if causal:
+        mask = (np.arange(sq)[:, None] + sk - sq) >= np.arange(sk)[None, :]
+        logits = np.where(mask[None, None], logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,h,kh,d,causal",
+    [
+        (1, 256, 256, 4, 2, 64, True),
+        (1, 300, 300, 2, 2, 64, True),   # non-block-multiple
+        (1, 128, 256, 4, 1, 64, True),   # suffix query (right-aligned)
+        (2, 256, 256, 2, 2, 64, False),  # non-causal with padded keys
+    ],
+)
+def test_flash_attention_interpret(rng, b, sq, sk, h, kh, d, causal):
+    from grasp_any_region_tpu.ops.flash_attention import flash_attention
+
+    q = rng.standard_normal((b, sq, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, sk, kh, d)).astype(np.float32)
+    v = rng.standard_normal((b, sk, kh, d)).astype(np.float32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, block_q=128, block_k=128, interpret=True,
+    )
+    ref = _np_attention(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_decode_attention_interpret(rng):
+    from grasp_any_region_tpu.ops.attention import decode_attention_reference
+    from grasp_any_region_tpu.ops.decode_attention import decode_attention
+
+    b, kh, s, d, h = 2, 2, 512, 64, 8
+    q = rng.standard_normal((b, h, d)).astype(np.float32)
+    kc = rng.standard_normal((b, kh, s, d)).astype(np.float32)
+    vc = rng.standard_normal((b, kh, s, d)).astype(np.float32)
+    plens = jnp.asarray([100, 220], jnp.int32)
+    wpos = jnp.asarray(300, jnp.int32)
+    kwargs = dict(prompt_lens=plens, write_pos=wpos, prompt_pad=256)
+    out = decode_attention(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+        block_s=128, interpret=True, **kwargs,
+    )
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_vit_attention_interpret(rng):
+    from grasp_any_region_tpu.ops.attention import mha_reference
+    from grasp_any_region_tpu.ops import vit_attention as va
+    import functools
+    from jax.experimental import pallas as pl
+
+    t, s, h, d = 2, 130, 2, 64  # forces kv-tail masking (pad to 256)
+    q = rng.standard_normal((t, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((t, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((t, s, h, d)).astype(np.float32)
+
+    # call the kernel in interpret mode through a small local wrapper
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    pad = (-s) % 128
+    qp = jnp.pad(qj, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    kp = jnp.pad(kj, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(vj, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    s_pad = s + pad
+    qh = qp.transpose(0, 2, 1, 3).reshape(t * h, s_pad, d)
+    kh_ = kp.transpose(0, 2, 1, 3).reshape(t * h, s_pad, d)
+    vh = vp.transpose(0, 2, 1, 3).reshape(t * h, s_pad, d)
+    kernel = functools.partial(
+        va._vit_attn_kernel, scale=d ** -0.5, kv_valid=s, s_pad=s_pad
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(t * h,),
+        in_specs=[pl.BlockSpec((None, s_pad, d), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((None, s_pad, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t * h, s_pad, d), qj.dtype),
+        interpret=True,
+    )(qh, kh_, vh)
+    out = out.reshape(t, h, s_pad, d).transpose(0, 2, 1, 3)[:, :s]
+    ref = mha_reference(qj, kj, vj, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
