@@ -62,8 +62,20 @@ def _encode_counts(counts: List[int]) -> bytes:
     return bytes(out)
 
 
-def decode_rle(rle: Dict) -> np.ndarray:
-    """COCO RLE dict -> (H, W) uint8 mask."""
+def decode_rle(rle: Dict, use_native: bool = True) -> np.ndarray:
+    """COCO RLE dict -> (H, W) uint8 mask.
+
+    Compressed counts route through the C++ codec when built
+    (native/rle.cc via data/rle_native.py); numpy otherwise."""
+    if use_native:
+        from .rle_native import decode_rle_native
+
+        try:
+            out = decode_rle_native(rle)
+            if out is not None:
+                return out
+        except ValueError:
+            raise
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, str):

