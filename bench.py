@@ -76,9 +76,8 @@ def main():
     from grasp_any_region_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    caps_b1 = run_config(1)
-    caps_b8 = run_config(8)
-    best = max(caps_b1, caps_b8)
+    results = [run_config(b) for b in (1, 8)]
+    best = max(results)
     print(
         json.dumps(
             {

@@ -157,16 +157,22 @@ def llama_decode_step(
     cos, sin = rope_cos_sin(pos[:, None], inv)  # (B, 1, Dh)
     eps = cfg.rms_norm_eps
 
-    def attend(q, k_cache, v_cache):
+    def attend(q, k_all, v_all, l):
+        # NOTE: the layer slab is dynamic-sliced out of the stacked cache.
+        # Passing the full stacked cache into the kernel (index_map on a
+        # scalar-prefetch layer id) was tried and is 2x SLOWER: the kernel
+        # read forces XLA to defensively copy the whole cache around the
+        # in-place dynamic_update_slice. The slice costs one 2*B*K*S*D read+
+        # write per layer; see bench notes in ops/decode_attention.py.
         if use_kernel:
             from ..ops.decode_attention import decode_attention
 
             return decode_attention(
-                q, k_cache, v_cache,
+                q, k_all[l], v_all[l],
                 prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
             )
         return decode_attention_reference(
-            q, k_cache, v_cache,
+            q, k_all[l], v_all[l],
             prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
         )
 
@@ -184,7 +190,7 @@ def llama_decode_step(
         v_all = jax.lax.dynamic_update_slice(
             v_all, v_new.astype(v_all.dtype)[None], (l, 0, 0, wp, 0)
         )
-        a = attend(q[:, 0], k_all[l], v_all[l])  # (B, H, Dh)
+        a = attend(q[:, 0], k_all, v_all, l)  # (B, H, Dh)
         a = a.reshape(b, 1, -1) @ bp["wo"].astype(x.dtype)
         x = x + a
         y = rms_norm(x, bp["mlp_norm"], eps)

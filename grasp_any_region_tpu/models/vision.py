@@ -29,7 +29,12 @@ from ..core.config import VisionConfig
 from ..ops.attention import mha
 from ..ops.norms import layer_norm
 from ..ops.vit_attention import vit_attention
-from ..ops.rope import apply_rope_2d, axial_rope_angles, init_mixed_rope_freqs, mixed_rope_angles
+from ..ops.rope import (
+    apply_rope_2d_tshd,
+    axial_rope_angles,
+    init_mixed_rope_freqs,
+    mixed_rope_angles,
+)
 
 
 def init_vision_params(rng: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
@@ -107,9 +112,10 @@ def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.nda
     qkv = qkv.reshape(t, s, 3, h, dh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if angles is not None:
-        # rope over patch tokens, CLS passes through
-        q = apply_rope_2d(q.transpose(0, 2, 1, 3), angles, n_prefix).transpose(0, 2, 1, 3)
-        k = apply_rope_2d(k.transpose(0, 2, 1, 3), angles, n_prefix).transpose(0, 2, 1, 3)
+        # rope over patch tokens, CLS passes through (token-major layout —
+        # no head-major transpose round trips)
+        q = apply_rope_2d_tshd(q, angles, n_prefix)
+        k = apply_rope_2d_tshd(k, angles, n_prefix)
     on_tpu = jax.default_backend() == "tpu"
     if use_flash is not False and on_tpu and s <= 2048:
         # fused single-pass kernel: whole (S, S) logits block lives in VMEM
@@ -123,7 +129,7 @@ def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.nda
 
     y = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
     y = y @ bp["fc1"].astype(y.dtype) + bp["b1"].astype(y.dtype)
-    y = jax.nn.gelu(y, approximate=False)
+    y = jax.nn.gelu(y, approximate=cfg.fast_gelu)
     y = y @ bp["fc2"].astype(y.dtype) + bp["b2"].astype(y.dtype)
     if "ls2" in bp:
         y = y * bp["ls2"].astype(y.dtype)

@@ -31,6 +31,7 @@ NEG_INF = -2.0 ** 30
 def _decode_kernel(
     plen_ref,  # scalar prefetch: (B,) int32 prompt lengths
     wpos_ref,  # scalar prefetch: (1,) int32 write position
+    lay_ref,  # scalar prefetch: (1,) int32 layer index (used by index_map)
     q_ref,  # (G, D)
     k_ref,  # (S, D)
     v_ref,  # (S, D)
@@ -94,8 +95,47 @@ def decode_attention(
 ) -> jnp.ndarray:
     b, h, d = q.shape
     _, kh, s, _ = k_cache.shape
-    assert h % kh == 0
-    g = h // kh
+    return _decode_call(
+        q.reshape(b, kh, h // kh, d), k_cache[None], v_cache[None],
+        jnp.zeros((), jnp.int32), prompt_lens, write_pos,
+        prompt_pad=prompt_pad, scale=scale, block_s=block_s,
+        interpret=interpret,
+    ).reshape(b, h, d)
+
+
+def decode_attention_stacked(
+    q: jnp.ndarray,  # (B, H, D)
+    k_all: jnp.ndarray,  # (L, B, K, S, D) — FULL stacked cache
+    v_all: jnp.ndarray,
+    layer: jnp.ndarray,  # () int32
+    *,
+    prompt_lens: jnp.ndarray,
+    write_pos: jnp.ndarray,
+    prompt_pad: int,
+    scale: Optional[float] = None,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-indexed decode attention: the kernel's index_map picks layer
+    `layer` straight out of the stacked cache in HBM, so the per-layer
+    (B, K, S, D) slice is DMA'd once into VMEM and never materialized as an
+    XLA copy (a traced-index dynamic-slice would write it back to HBM —
+    ~2x cache traffic per decode step)."""
+    b, h, d = q.shape
+    _, _, kh, s, _ = k_all.shape
+    return _decode_call(
+        q.reshape(b, kh, h // kh, d), k_all, v_all, layer, prompt_lens,
+        write_pos, prompt_pad=prompt_pad, scale=scale, block_s=block_s,
+        interpret=interpret,
+    ).reshape(b, h, d)
+
+
+def _decode_call(
+    qg, k_all, v_all, layer, prompt_lens, write_pos, *,
+    prompt_pad, scale, block_s, interpret,
+):
+    b, kh, g, d = qg.shape
+    L, _, _, s, _ = k_all.shape
     if scale is None:
         scale = d ** -0.5
     block_s = min(block_s, s)
@@ -103,38 +143,43 @@ def decode_attention(
         f"cache columns {s} must be a multiple of block_s {block_s}; "
         "allocate the cache padded (padding would copy it every step)"
     )
-    s_p = s
-
-    qg = q.reshape(b, kh, g, d)
-    kt = k_cache
-    vt = v_cache
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_s=block_s, prompt_pad=prompt_pad
     )
 
+    # scalar prefetch: (prompt_lens, write_pos, layer); layer drives index_map
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, kh),
         in_specs=[
-            pl.BlockSpec((None, None, g, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
-            pl.BlockSpec((None, None, s_p, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
-            pl.BlockSpec((None, None, s_p, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
+            pl.BlockSpec(
+                (None, None, g, d), lambda bi, ki, plen, wpos, lay: (bi, ki, 0, 0)
+            ),
+            pl.BlockSpec(
+                (None, None, None, s, d),
+                lambda bi, ki, plen, wpos, lay: (lay[0], bi, ki, 0, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, None, s, d),
+                lambda bi, ki, plen, wpos, lay: (lay[0], bi, ki, 0, 0),
+            ),
         ],
-        out_specs=pl.BlockSpec((None, None, g, d), lambda bi, ki, *_: (bi, ki, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (None, None, g, d), lambda bi, ki, plen, wpos, lay: (bi, ki, 0, 0)
+        ),
     )
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kh, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, kh, g, d), qg.dtype),
         interpret=interpret,
     )(
         prompt_lens.astype(jnp.int32),
         write_pos.reshape(1).astype(jnp.int32),
+        layer.reshape(1).astype(jnp.int32),
         qg,
-        kt,
-        vt,
+        k_all,
+        v_all,
     )
-
-    return out.reshape(b, h, d)

@@ -152,3 +152,22 @@ def apply_rope_2d(
     pf = patches.astype(jnp.float32)
     rotated = pf * cos + rotate_half(pf) * sin
     return jnp.concatenate([prefix, rotated.astype(x.dtype)], axis=2)
+
+
+def apply_rope_2d_tshd(
+    x: jnp.ndarray, angles: jnp.ndarray, num_prefix: int = 1
+) -> jnp.ndarray:
+    """Same rotation on a (T, S, H, D) layout — avoids transposing q/k to
+    head-major and back every block (two 70 MB round trips per tensor in the
+    17-tile ViT). angles: (H, N, D/2) or (N, D/2)."""
+    if angles.ndim == 2:
+        angles = angles[None]
+    cos = jnp.cos(angles)  # (H|1, N, d/2)
+    sin = jnp.sin(angles)
+    # -> (1, N, H|1, D)
+    cos = jnp.concatenate([cos, cos], axis=-1).transpose(1, 0, 2)[None]
+    sin = jnp.concatenate([sin, sin], axis=-1).transpose(1, 0, 2)[None]
+    prefix, patches = x[:, :num_prefix], x[:, num_prefix:]
+    pf = patches.astype(cos.dtype)
+    rotated = pf * cos + rotate_half(pf) * sin
+    return jnp.concatenate([prefix, rotated.astype(x.dtype)], axis=1)
