@@ -150,6 +150,10 @@ def llama_decode_step(
     b = inputs_embeds.shape[0]
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        # fully-fused path: layer-indexed weight streaming + in-kernel cache
+        # append; ~1.75x faster per token than the sliced path (PERF_NOTES)
+        return llama_decode_step_fused(params, cfg, inputs_embeds, cache, prompt_pad)
     inv = llama_inv_freq(cfg)
     wp = cache.write_pos  # () scalar column for this token
     # rope position of the new token per row: prompt_len + tokens generated
@@ -196,6 +200,64 @@ def llama_decode_step(
         y = rms_norm(x, bp["mlp_norm"], eps)
         x = x + _mlp(bp, y)
         return (x, k_all, v_all)
+
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, cfg.num_layers, body, (inputs_embeds, cache.k, cache.v)
+    )
+    return x, KVCache(
+        k=new_k, v=new_v, prompt_lens=cache.prompt_lens, write_pos=wp + 1
+    )
+
+
+def llama_decode_step_fused(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, 1, D)
+    cache: KVCache,
+    prompt_pad: int,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Decode step with layer-indexed Pallas kernels end to end: every weight
+    matrix and the cache slab stream from HBM exactly once per step — no XLA
+    dynamic-slice copies of stacked weights or cache (docs/PERF_NOTES.md).
+    """
+    from ..ops.decode_attention import decode_attention_fused
+    from ..ops.layer_matmul import layer_matmul, layer_qkv, layer_swiglu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"  # pallas interpret on CPU
+    b = inputs_embeds.shape[0]
+    h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv = llama_inv_freq(cfg)
+    wp = cache.write_pos
+    pos = cache.prompt_lens + (wp - prompt_pad)
+    cos, sin = rope_cos_sin(pos[:, None], inv)  # (B, 1, Dh)
+    eps = cfg.rms_norm_eps
+    blocks = params["blocks"]
+
+    def body(l, carry):
+        x, k_all, v_all = carry  # x: (B, 1, D)
+        xr = x[:, 0]
+        y = rms_norm(xr, blocks["attn_norm"][l], eps)
+        qf, kf, vf = layer_qkv(y, blocks["wq"], blocks["wk"], blocks["wv"], l,
+                               interpret=interpret)
+        q = apply_rope(qf.reshape(b, 1, h, dh), cos, sin)[:, 0]
+        k = apply_rope(kf.reshape(b, 1, kh, dh), cos, sin)[:, 0]
+        v = vf.reshape(b, kh, dh)
+        a, k_all, v_all = decode_attention_fused(
+            q.reshape(b, h, dh), k_all, v_all,
+            k.astype(k_all.dtype), v.astype(v_all.dtype), l,
+            prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
+            interpret=interpret,
+        )
+        xr = xr + layer_matmul(a.reshape(b, h * dh), blocks["wo"], l,
+                               interpret=interpret)
+        y = rms_norm(xr, blocks["mlp_norm"][l], eps)
+        act = layer_swiglu(y, blocks["w_gate"], blocks["w_up"], l,
+                           interpret=interpret)
+        xr = xr + layer_matmul(act, blocks["w_down"], l, interpret=interpret)
+        return (xr[:, None], k_all, v_all)
 
     x, new_k, new_v = jax.lax.fori_loop(
         0, cfg.num_layers, body, (inputs_embeds, cache.k, cache.v)

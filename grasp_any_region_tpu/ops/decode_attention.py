@@ -81,6 +81,171 @@ def _decode_kernel(
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _fused_kernel(
+    plen_ref, wpos_ref, lay_ref,  # scalar prefetch
+    q_ref,  # (G, D)
+    knew_ref,  # (1, D) — (B, K, 1, D) block with B/K squeezed
+    vnew_ref,  # (1, D)
+    k_ref,  # (S, D) layer slab (pre-write state)
+    v_ref,  # (S, D)
+    o_ref,  # (G, D)
+    kcol_ref,  # (8, D) aliased 8-row window of k_all containing column wpos
+    vcol_ref,  # (8, D)
+    *,
+    scale: float,
+    block_s: int,
+    prompt_pad: int,
+):
+    b = pl.program_id(0)
+    plen = plen_ref[b]
+    wpos = wpos_ref[0]
+    g, d = q_ref.shape
+    q = q_ref[:].astype(jnp.float32) * scale
+    k_new = knew_ref[:].reshape(1, d)  # (1, D)
+    v_new = vnew_ref[:].reshape(1, d)
+
+    # in-place write: TPU needs >=8-row output blocks, so rewrite the aligned
+    # 8-row window around wpos with only row wpos%8 replaced (old rows come
+    # from the pre-write slab input, which aliases the same buffer)
+    align = (wpos // 8) * 8
+    old_k = k_ref[pl.ds(align, 8), :]
+    old_v = v_ref[pl.ds(align, 8), :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+    sel = row == (wpos - align)
+    kcol_ref[:] = jnp.where(sel, k_new.astype(old_k.dtype), old_k)
+    vcol_ref[:] = jnp.where(sel, v_new.astype(old_v.dtype), old_v)
+
+    num_s = (wpos + block_s - 1) // block_s  # history strictly before wpos
+
+    def body(si, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[pl.ds(si * block_s, block_s), :]
+        v_blk = v_ref[pl.ds(si * block_s, block_s), :]
+        s = jax.lax.dot_general(
+            q, k_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, (g, block_s), 1)
+        ok = (ids < plen) | ((ids >= prompt_pad) & (ids < wpos))
+        s = jnp.where(ok, s, NEG_INF)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        alpha = jnp.exp(m_prev - m_cur)
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_cur, l_cur, acc
+
+    init = (
+        jnp.full((g, 1), NEG_INF, jnp.float32),
+        jnp.zeros((g, 1), jnp.float32),
+        jnp.zeros((g, d), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, num_s, body, init)
+
+    # fold in the current token (its K/V never round-trips through HBM)
+    s_cur = jax.lax.dot_general(
+        q, k_new.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G, 1)
+    m_f = jnp.maximum(m, s_cur)
+    alpha = jnp.exp(m - m_f)
+    p_cur = jnp.exp(s_cur - m_f)
+    l_f = l * alpha + p_cur
+    acc = acc * alpha + p_cur * v_new.astype(jnp.float32)
+    o_ref[:] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
+
+
+def decode_attention_fused(
+    q: jnp.ndarray,  # (B, H, D)
+    k_all: jnp.ndarray,  # (L, B, K, S, D) stacked cache
+    v_all: jnp.ndarray,
+    k_new: jnp.ndarray,  # (B, K, D) current token
+    v_new: jnp.ndarray,
+    layer: jnp.ndarray,  # () int32
+    *,
+    prompt_lens: jnp.ndarray,
+    write_pos: jnp.ndarray,
+    prompt_pad: int,
+    scale: Optional[float] = None,
+    block_s: int = 512,
+    interpret: bool = False,
+):
+    """Attention + cache append in ONE kernel.
+
+    The stacked cache is aliased input->output; the kernel writes only the
+    (lay, b, k, wpos) column and reads the history slab — no XLA-level
+    dynamic-slice copy, no dynamic_update_slice, no defensive cache copy.
+    Returns (out (B, H, D), k_all', v_all') where the primed caches are the
+    same buffers updated in place.
+    """
+    b, h, d = q.shape
+    L, _, kh, s, _ = k_all.shape
+    g = h // kh
+    if scale is None:
+        scale = d ** -0.5
+    block_s = min(block_s, s)
+    assert s % block_s == 0
+
+    kernel = functools.partial(
+        _fused_kernel, scale=scale, block_s=block_s, prompt_pad=prompt_pad
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, kh),
+        in_specs=[
+            pl.BlockSpec((None, None, g, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec((None, None, 1, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec((None, None, 1, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec(
+                (None, None, None, s, d),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, None, s, d),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, g, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec(
+                (None, None, None, 8, d),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // 8, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, None, 8, d),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // 8, 0),
+            ),
+        ],
+    )
+    qg = q.reshape(b, kh, g, d)
+    out, k2, v2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kh, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        # operand indices INCLUDE the scalar-prefetch args:
+        # 0..2 scalars, 3=q, 4=k_new, 5=v_new, 6=k_all, 7=v_all -> outputs 1, 2
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(
+        prompt_lens.astype(jnp.int32),
+        write_pos.reshape(1).astype(jnp.int32),
+        layer.reshape(1).astype(jnp.int32),
+        qg,
+        k_new.reshape(b, kh, 1, d),
+        v_new.reshape(b, kh, 1, d),
+        k_all,
+        v_all,
+    )
+    return out.reshape(b, h, d), k2, v2
+
+
 def decode_attention(
     q: jnp.ndarray,  # (B, H, D)
     k_cache: jnp.ndarray,  # (B, K, S, D) head-major (see models/llama.KVCache)

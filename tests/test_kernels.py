@@ -102,3 +102,44 @@ def test_vit_attention_interpret(rng):
     out = out.reshape(t, h, s_pad, d).transpose(0, 2, 1, 3)[:, :s]
     ref = mha_reference(qj, kj, vj, causal=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_decode_step_matches_reference(rng):
+    """The fully-fused decode step (layer-indexed weight kernels + in-kernel
+    cache append) must match the reference step in fp32 (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import (
+        KVCache,
+        embed_tokens,
+        llama_decode_step,
+        llama_decode_step_fused,
+        llama_prefill,
+    )
+    from grasp_any_region_tpu.models.gar import seed_cache_from_prefill
+
+    cfg = gar_tiny()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg)["llm"]
+    b, s_prompt = 2, 8
+    ids = rng.integers(0, 1000, size=(b, s_prompt)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(s_prompt, dtype=np.int32), (b, s_prompt)).copy()
+    embeds = embed_tokens(params, jnp.asarray(ids), jnp.float32)
+    _, kv = llama_prefill(params, cfg.text, embeds, jnp.asarray(pos), use_flash=False)
+    cache = seed_cache_from_prefill(
+        cfg, kv, jnp.full((b,), s_prompt, jnp.int32), 128, dtype=jnp.float32)
+
+    e = embed_tokens(params, jnp.full((b, 1), 42, jnp.int32), jnp.float32)
+    h_ref, c_ref = llama_decode_step(
+        params, cfg.text, e, cache, s_prompt, use_kernel=False)
+    h_fused, c_fused = llama_decode_step_fused(
+        params, cfg.text, e, cache, s_prompt, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(h_fused), np.asarray(h_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_fused.k), np.asarray(c_ref.k), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_fused.v), np.asarray(c_ref.v), rtol=1e-4, atol=1e-5)
+    assert int(c_fused.write_pos) == int(c_ref.write_pos)
