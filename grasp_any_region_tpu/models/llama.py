@@ -75,21 +75,30 @@ def init_llama_params(
     return params
 
 
-def _qkv(cfg: TextConfig, bp: dict, x: jnp.ndarray, cos, sin):
+def _proj(bp: dict, name: str, x: jnp.ndarray, lora_scaling=None) -> jnp.ndarray:
+    out = x @ bp[name].astype(x.dtype)
+    if lora_scaling is not None and f"{name}_lora_a" in bp:
+        from ..train.lora import lora_delta
+
+        out = out + lora_delta(bp, name, x, lora_scaling).astype(out.dtype)
+    return out
+
+
+def _qkv(cfg: TextConfig, bp: dict, x: jnp.ndarray, cos, sin, lora_scaling=None):
     b, s, _ = x.shape
     h, k, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (x @ bp["wq"].astype(x.dtype)).reshape(b, s, h, dh)
-    kk = (x @ bp["wk"].astype(x.dtype)).reshape(b, s, k, dh)
-    vv = (x @ bp["wv"].astype(x.dtype)).reshape(b, s, k, dh)
+    q = _proj(bp, "wq", x, lora_scaling).reshape(b, s, h, dh)
+    kk = _proj(bp, "wk", x, lora_scaling).reshape(b, s, k, dh)
+    vv = _proj(bp, "wv", x, lora_scaling).reshape(b, s, k, dh)
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
     return q, kk, vv
 
 
-def _mlp(bp: dict, x: jnp.ndarray) -> jnp.ndarray:
-    gate = x @ bp["w_gate"].astype(x.dtype)
-    up = x @ bp["w_up"].astype(x.dtype)
-    return (jax.nn.silu(gate) * up) @ bp["w_down"].astype(x.dtype)
+def _mlp(bp: dict, x: jnp.ndarray, lora_scaling=None) -> jnp.ndarray:
+    gate = _proj(bp, "w_gate", x, lora_scaling)
+    up = _proj(bp, "w_up", x, lora_scaling)
+    return _proj(bp, "w_down", jax.nn.silu(gate) * up, lora_scaling)
 
 
 def llama_prefill(
@@ -112,16 +121,17 @@ def llama_prefill(
     inv = llama_inv_freq(cfg)
     cos, sin = rope_cos_sin(positions, inv)  # (B, S, Dh)
     eps = cfg.rms_norm_eps
+    lora_scaling = params.get("lora_scaling")
 
     def body(x, bp):
         y = rms_norm(x, bp["attn_norm"], eps)
-        q, k, v = _qkv(cfg, bp, y, cos, sin)
+        q, k, v = _qkv(cfg, bp, y, cos, sin, lora_scaling)
         a = mha(q, k, v, causal=True, segment_ids=segment_ids,
                 use_flash=use_flash, right_padded=right_padded)
-        a = a.reshape(x.shape[0], x.shape[1], -1) @ bp["wo"].astype(x.dtype)
+        a = _proj(bp, "wo", a.reshape(x.shape[0], x.shape[1], -1), lora_scaling)
         x = x + a
         y = rms_norm(x, bp["mlp_norm"], eps)
-        x = x + _mlp(bp, y)
+        x = x + _mlp(bp, y, lora_scaling)
         return x, (k, v)
 
     body_fn = jax.checkpoint(body) if remat else body

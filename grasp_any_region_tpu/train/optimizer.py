@@ -32,6 +32,8 @@ class OptimizerConfig:
     freeze_connector: bool = False
     unfreeze_vocab: bool = True
     unfreeze_lm_head: bool = True
+    lora_only: bool = False  # train only LoRA adapters (+ embeds/lm_head/
+    # mask_embed), the reference's llm_lora regime
 
 
 def trainable_mask(params: Any, cfg: OptimizerConfig) -> Any:
@@ -59,7 +61,9 @@ def trainable_mask(params: Any, cfg: OptimizerConfig) -> Any:
 
 
 def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
-    warmup = max(1, int(cfg.total_steps * cfg.warmup_ratio))
+    warmup = int(cfg.total_steps * cfg.warmup_ratio)
+    if warmup == 0:
+        return optax.cosine_decay_schedule(cfg.lr, max(1, cfg.total_steps))
     return optax.join_schedules(
         [
             optax.linear_schedule(0.0, cfg.lr, warmup),
@@ -79,8 +83,17 @@ def make_optimizer(params: Any, cfg: OptimizerConfig) -> optax.GradientTransform
             weight_decay=cfg.weight_decay,
         ),
     )
-    mask = trainable_mask(params, cfg)
-    tx = optax.masked(tx, mask)
+    if cfg.lora_only:
+        from .lora import lora_trainable_mask
+
+        mask = lora_trainable_mask(params, train_embeddings=cfg.unfreeze_vocab)
+    else:
+        mask = trainable_mask(params, cfg)
+    # NOT optax.masked: its pass-through leaves raw gradients as updates for
+    # frozen params (gradient ASCENT once apply_updates adds them). Frozen
+    # params must get zero updates.
+    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
+    tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     if cfg.accumulation > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation)
     return tx
