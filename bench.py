@@ -29,7 +29,7 @@ BASELINE_CAPTIONS_PER_SEC = 0.33
 DECODE_TOKENS = 256
 
 
-def run_config(batch_size: int, iters: int = 3):
+def run_config(batch_size: int, iters: int = 3, quantize: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +40,10 @@ def run_config(batch_size: int, iters: int = 3):
 
     cfg = gar_1b()  # full 16-tile budget (configs/gar_1b.py:101)
     params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if quantize:
+        from grasp_any_region_tpu.models.quantize import quantize_decode_weights
+
+        params = quantize_decode_weights(params)
     batch, _, prompt_lens = synthetic_batch(
         cfg, batch=batch_size, grid=(4, 4), regions=1, seed=0
     )
@@ -64,8 +68,9 @@ def run_config(batch_size: int, iters: int = 3):
         run(i + 1)
     dt = (time.time() - t0) / iters
     caps = batch_size / dt
+    tag = " int8-decode" if quantize else ""
     print(
-        f"[bench] B={batch_size}: {dt*1000:.0f} ms/batch -> {caps:.3f} captions/s "
+        f"[bench] B={batch_size}{tag}: {dt*1000:.0f} ms/batch -> {caps:.3f} captions/s "
         f"({batch_size*DECODE_TOKENS/dt:.0f} decode tok/s; compile {compile_s:.0f}s)",
         file=sys.stderr,
     )
@@ -77,6 +82,7 @@ def main():
 
     enable_compilation_cache()
     results = [run_config(b) for b in (1, 8)]
+    run_config(8, quantize=True)  # informational: int8 decode weights
     best = max(results)
     print(
         json.dumps(

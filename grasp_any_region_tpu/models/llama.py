@@ -233,10 +233,19 @@ def llama_decode_step_fused(
     dynamic-slice copies of stacked weights or cache (docs/PERF_NOTES.md).
     """
     from ..ops.decode_attention import decode_attention_fused
-    from ..ops.layer_matmul import layer_matmul, layer_qkv, layer_swiglu
+    from ..ops.layer_matmul import (
+        layer_matmul,
+        layer_matmul_q8,
+        layer_qkv,
+        layer_qkv_q8,
+        layer_swiglu,
+        layer_swiglu_q8,
+    )
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"  # pallas interpret on CPU
+    blocks_probe = params["blocks"]
+    q8 = "wq_q8" in blocks_probe  # int8 decode weights present (models/quantize.py)
     b = inputs_embeds.shape[0]
     h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     inv = llama_inv_freq(cfg)
@@ -250,8 +259,14 @@ def llama_decode_step_fused(
         x, k_all, v_all = carry  # x: (B, 1, D)
         xr = x[:, 0]
         y = rms_norm(xr, blocks["attn_norm"][l], eps)
-        qf, kf, vf = layer_qkv(y, blocks["wq"], blocks["wk"], blocks["wv"], l,
-                               interpret=interpret)
+        if q8:
+            qf, kf, vf = layer_qkv_q8(
+                y, blocks["wq_q8"], blocks["wq_scale"],
+                blocks["wk_q8"], blocks["wk_scale"],
+                blocks["wv_q8"], blocks["wv_scale"], l, interpret=interpret)
+        else:
+            qf, kf, vf = layer_qkv(y, blocks["wq"], blocks["wk"], blocks["wv"], l,
+                                   interpret=interpret)
         q = apply_rope(qf.reshape(b, 1, h, dh), cos, sin)[:, 0]
         k = apply_rope(kf.reshape(b, 1, kh, dh), cos, sin)[:, 0]
         v = vf.reshape(b, kh, dh)
@@ -261,12 +276,24 @@ def llama_decode_step_fused(
             prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
             interpret=interpret,
         )
-        xr = xr + layer_matmul(a.reshape(b, h * dh), blocks["wo"], l,
+        if q8:
+            xr = xr + layer_matmul_q8(
+                a.reshape(b, h * dh), blocks["wo_q8"], blocks["wo_scale"], l,
+                interpret=interpret)
+            y = rms_norm(xr, blocks["mlp_norm"][l], eps)
+            act = layer_swiglu_q8(
+                y, blocks["w_gate_q8"], blocks["w_gate_scale"],
+                blocks["w_up_q8"], blocks["w_up_scale"], l, interpret=interpret)
+            xr = xr + layer_matmul_q8(
+                act, blocks["w_down_q8"], blocks["w_down_scale"], l,
+                interpret=interpret)
+        else:
+            xr = xr + layer_matmul(a.reshape(b, h * dh), blocks["wo"], l,
+                                   interpret=interpret)
+            y = rms_norm(xr, blocks["mlp_norm"][l], eps)
+            act = layer_swiglu(y, blocks["w_gate"], blocks["w_up"], l,
                                interpret=interpret)
-        y = rms_norm(xr, blocks["mlp_norm"][l], eps)
-        act = layer_swiglu(y, blocks["w_gate"], blocks["w_up"], l,
-                           interpret=interpret)
-        xr = xr + layer_matmul(act, blocks["w_down"], l, interpret=interpret)
+            xr = xr + layer_matmul(act, blocks["w_down"], l, interpret=interpret)
         return (xr[:, None], k_all, v_all)
 
     x, new_k, new_v = jax.lax.fori_loop(

@@ -149,3 +149,143 @@ def layer_qkv(
         ],
         interpret=interpret,
     )(layer.reshape(1).astype(jnp.int32), x, wq_all, wk_all, wv_all)
+
+
+# ---------------------------------------------------------------------------
+# int8 variants (weights dequantized in VMEM; HBM traffic halves)
+# ---------------------------------------------------------------------------
+
+def _mm_q8_kernel(lay_ref, x_ref, w_ref, s_ref, o_ref):
+    wf = w_ref[:].astype(jnp.float32) * s_ref[:]
+    o_ref[:] = jnp.dot(
+        x_ref[:].astype(jnp.float32), wf, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def layer_matmul_q8(
+    x: jnp.ndarray,  # (B, Din)
+    w_q8: jnp.ndarray,  # (L, Din, Dout) int8
+    scale: jnp.ndarray,  # (L, 1, Dout) fp32
+    layer: jnp.ndarray,
+    *,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, din = x.shape
+    L, _, dout = w_q8.shape
+    vmem_cap = (6 * 1024 * 1024) // din // 128 * 128  # int8: 1 byte/elem
+    block_n = min(block_n, dout, max(128, vmem_cap))
+    assert dout % block_n == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(dout // block_n,),
+        in_specs=[
+            pl.BlockSpec((b, din), lambda j, lay: (0, 0)),
+            pl.BlockSpec((None, din, block_n), lambda j, lay: (lay[0], 0, j)),
+            pl.BlockSpec((None, 1, block_n), lambda j, lay: (lay[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda j, lay: (0, j)),
+    )
+    return pl.pallas_call(
+        _mm_q8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, dout), x.dtype),
+        interpret=interpret,
+    )(layer.reshape(1).astype(jnp.int32), x, w_q8, scale)
+
+
+def _swiglu_q8_kernel(lay_ref, x_ref, wg_ref, sg_ref, wu_ref, su_ref, o_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    gate = jnp.dot(xf, wg_ref[:].astype(jnp.float32) * sg_ref[:],
+                   preferred_element_type=jnp.float32)
+    up = jnp.dot(xf, wu_ref[:].astype(jnp.float32) * su_ref[:],
+                 preferred_element_type=jnp.float32)
+    o_ref[:] = (jax.nn.silu(gate) * up).astype(o_ref.dtype)
+
+
+def layer_swiglu_q8(
+    x: jnp.ndarray,
+    wg_q8: jnp.ndarray, sg: jnp.ndarray,
+    wu_q8: jnp.ndarray, su: jnp.ndarray,
+    layer: jnp.ndarray,
+    *,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, din = x.shape
+    L, _, m = wg_q8.shape
+    vmem_cap = (3 * 1024 * 1024) // din // 128 * 128  # two int8 blocks live
+    block_n = min(block_n, m, max(128, vmem_cap))
+    assert m % block_n == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_n,),
+        in_specs=[
+            pl.BlockSpec((b, din), lambda j, lay: (0, 0)),
+            pl.BlockSpec((None, din, block_n), lambda j, lay: (lay[0], 0, j)),
+            pl.BlockSpec((None, 1, block_n), lambda j, lay: (lay[0], 0, j)),
+            pl.BlockSpec((None, din, block_n), lambda j, lay: (lay[0], 0, j)),
+            pl.BlockSpec((None, 1, block_n), lambda j, lay: (lay[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda j, lay: (0, j)),
+    )
+    return pl.pallas_call(
+        _swiglu_q8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, m), x.dtype),
+        interpret=interpret,
+    )(layer.reshape(1).astype(jnp.int32), x, wg_q8, sg, wu_q8, su)
+
+
+def _qkv_q8_kernel(lay_ref, x_ref, wq_ref, sq_ref, wk_ref, sk_ref, wv_ref, sv_ref,
+                   q_ref, k_ref, v_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    q_ref[:] = jnp.dot(xf, wq_ref[:].astype(jnp.float32) * sq_ref[:],
+                       preferred_element_type=jnp.float32).astype(q_ref.dtype)
+    k_ref[:] = jnp.dot(xf, wk_ref[:].astype(jnp.float32) * sk_ref[:],
+                       preferred_element_type=jnp.float32).astype(k_ref.dtype)
+    v_ref[:] = jnp.dot(xf, wv_ref[:].astype(jnp.float32) * sv_ref[:],
+                       preferred_element_type=jnp.float32).astype(v_ref.dtype)
+
+
+def layer_qkv_q8(
+    x: jnp.ndarray,
+    wq_q8, sq, wk_q8, sk, wv_q8, sv,
+    layer: jnp.ndarray,
+    *,
+    interpret: bool = False,
+):
+    b, d = x.shape
+    L, _, hq = wq_q8.shape
+    hk = wk_q8.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j, lay: (0, 0)),
+            pl.BlockSpec((None, d, hq), lambda j, lay: (lay[0], 0, 0)),
+            pl.BlockSpec((None, 1, hq), lambda j, lay: (lay[0], 0, 0)),
+            pl.BlockSpec((None, d, hk), lambda j, lay: (lay[0], 0, 0)),
+            pl.BlockSpec((None, 1, hk), lambda j, lay: (lay[0], 0, 0)),
+            pl.BlockSpec((None, d, hk), lambda j, lay: (lay[0], 0, 0)),
+            pl.BlockSpec((None, 1, hk), lambda j, lay: (lay[0], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, hq), lambda j, lay: (0, 0)),
+            pl.BlockSpec((b, hk), lambda j, lay: (0, 0)),
+            pl.BlockSpec((b, hk), lambda j, lay: (0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _qkv_q8_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq), x.dtype),
+            jax.ShapeDtypeStruct((b, hk), x.dtype),
+            jax.ShapeDtypeStruct((b, hk), x.dtype),
+        ],
+        interpret=interpret,
+    )(layer.reshape(1).astype(jnp.int32), x, wq_q8, sq, wk_q8, sk, wv_q8, sv)

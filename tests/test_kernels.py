@@ -143,3 +143,43 @@ def test_fused_decode_step_matches_reference(rng):
     np.testing.assert_allclose(
         np.asarray(c_fused.v), np.asarray(c_ref.v), rtol=1e-4, atol=1e-5)
     assert int(c_fused.write_pos) == int(c_ref.write_pos)
+
+
+def test_int8_decode_weights_close_to_bf16(rng):
+    """Quantized decode step stays close to the fp32 step (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.gar import seed_cache_from_prefill
+    from grasp_any_region_tpu.models.llama import (
+        embed_tokens,
+        llama_decode_step,
+        llama_decode_step_fused,
+        llama_prefill,
+    )
+    from grasp_any_region_tpu.models.quantize import quantize_decode_weights, quantize_int8, dequantize
+
+    # quantization round trip error bound
+    w = rng.standard_normal((2, 64, 128)).astype(np.float32)
+    q, s = quantize_int8(jnp.asarray(w))
+    back = np.asarray(dequantize(q, s, jnp.float32))
+    assert np.abs(back - w).max() <= np.abs(w).max() / 127.0 + 1e-6
+
+    cfg = gar_tiny()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg)["llm"]
+    qparams = quantize_decode_weights({"llm": params})["llm"]
+    b, s_prompt = 2, 8
+    ids = rng.integers(0, 1000, size=(b, s_prompt)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(s_prompt, dtype=np.int32), (b, s_prompt)).copy()
+    embeds = embed_tokens(params, jnp.asarray(ids), jnp.float32)
+    _, kv = llama_prefill(params, cfg.text, embeds, jnp.asarray(pos), use_flash=False)
+    cache = seed_cache_from_prefill(
+        cfg, kv, jnp.full((b,), s_prompt, jnp.int32), 128, dtype=jnp.float32)
+    e = embed_tokens(params, jnp.full((b, 1), 42, jnp.int32), jnp.float32)
+    h_ref, _ = llama_decode_step(params, cfg.text, e, cache, s_prompt, use_kernel=False)
+    h_q8, _ = llama_decode_step_fused(qparams, cfg.text, e, cache, s_prompt, interpret=True)
+    err = np.abs(np.asarray(h_q8) - np.asarray(h_ref)).max()
+    ref_mag = np.abs(np.asarray(h_ref)).max()
+    assert err < 0.05 * ref_mag, (err, ref_mag)
