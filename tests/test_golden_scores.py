@@ -1,0 +1,113 @@
+"""Golden-score parity: our scoring/aggregation reproduces the PUBLISHED
+benchmark numbers from the reference's shipped judged caches
+(evaluation/*/model_outputs/*). Skips when the reference tree is absent."""
+
+import json
+import os
+
+import pytest
+
+REF = "/root/reference/evaluation"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference benchmark caches not available"
+)
+
+
+def test_vqa_scores_match_published():
+    from grasp_any_region_tpu.evaluation.garbench import score_vqa
+
+    with open(f"{REF}/GAR-Bench/model_outputs/gar_1b_vqa.json") as f:
+        items = json.load(f)
+    s = score_vqa(items)
+    # EVALUATION.md:104-124 / BASELINE.md
+    assert s["overall"] == 47.9 and s["overall_count"] == "203/424"
+    assert s["color"] == 49.3
+    assert s["texture/pattern"] == 58.6
+    assert s["mirror"] == 59.0
+    assert s["ordering"] == 20.3
+    assert s["material"] == 38.9
+    assert s["shape"] == 50.0
+    assert s["relation"] == 56.4
+
+    with open(f"{REF}/GAR-Bench/model_outputs/gar_8b_vqa.json") as f:
+        s8 = score_vqa(json.load(f))
+    assert s8["overall"] == 57.8
+
+
+@pytest.mark.parametrize(
+    "fname,published",
+    [
+        ("gar_1b_simple_eval.json", 0.5567),
+        ("gar_8b_simple_eval.json", 0.6392),
+        ("gar_1b_detailed_eval.json", 0.6636),
+        ("gar_8b_detailed_eval.json", 0.6916),
+    ],
+)
+def test_caption_accuracy_matches_published(fname, published):
+    """The True/False aggregation (judges/garbench_judge) over the shipped
+    judged caches reproduces EVALUATION.md:36-83."""
+    with open(f"{REF}/GAR-Bench/model_outputs/{fname}") as f:
+        items = json.load(f)
+    acc = sum(1 for x in items if x.get("eval_result") == "True") / len(items)
+    assert round(acc, 4) == published
+
+
+def test_dlc_aggregation_matches_published():
+    """Recompute DLC Pos/Neg/Avg from the shipped per-annotation judge info
+    using our aggregation (judges/dlc_judge.judge_dlc summary math).
+
+    The GAR-8B cache reproduces EVALUATION.md:192-201 exactly (0.680/0.860).
+    The shipped GAR-1B cache aggregates to 0.658/0.876 — ~0.004 off the
+    published 0.662/0.880; the shipped cache is evidently a different
+    (re-run) judging pass than the one behind the table (the judge is
+    acknowledged noisy, EVALUATION.md:31). We pin the cache-implied values.
+    """
+
+    def agg(fname):
+        with open(f"{REF}/DLC-Bench/model_outputs/{fname}") as f:
+            results = json.load(f)
+        vals = [r for r in results.values() if isinstance(r, dict) and "score_pos" in r]
+        pos = [r["score_pos"] for r in vals if r["score_pos"] is not None]
+        neg = [r["score_neg"] for r in vals if r["score_neg"] is not None]
+        return round(sum(pos) / len(pos), 3), round(sum(neg) / len(neg), 3)
+
+    assert agg("gar_8b_eval_gpt.json") == (0.680, 0.860)  # published exactly
+    assert agg("gar_1b_eval_gpt.json") == (0.658, 0.876)  # cache-implied
+
+
+def test_dlc_parse_pred_replays_cached_judge_responses():
+    """Replay the judge's cached raw responses through OUR answer parser +
+    scoring gate and reproduce each annotation's cached score exactly."""
+    from grasp_any_region_tpu.evaluation.judges.dlc_judge import (
+        RECOGNITION_CHOICES,
+        evaluate_one,
+    )
+
+    with open(f"{REF}/DLC-Bench/model_outputs/gar_1b_eval_gpt.json") as f:
+        results = json.load(f)
+    with open(f"{REF}/DLC-Bench/annotations/qa.json") as f:
+        qa = json.load(f)
+
+    class ReplayClient:
+        def chat(self, messages):
+            raise AssertionError("must use cached responses only")
+
+    checked = 0
+    for key, info in list(results.items())[:25]:
+        recog_q = dict(info["details_recognition"][0])
+        recog = {
+            "question": recog_q["question"],
+            "choices": RECOGNITION_CHOICES,
+            "type": "recognition",
+        }
+        questions = [recog, *qa[key]]
+        out = evaluate_one(
+            ReplayClient(), questions, info["pred"], images=[],
+            response_override=info["response"],
+        )
+        assert out["recognition_result"] == info["recognition_result"], key
+        assert abs(out["score_pos"] - info["score_pos"]) < 1e-9, key
+        if info["score_neg"] is not None:
+            assert abs(out["score_neg"] - info["score_neg"]) < 1e-9, key
+        checked += 1
+    assert checked == 25

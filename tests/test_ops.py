@@ -287,3 +287,16 @@ def test_config_roundtrip(tmp_path):
     assert cfg.mask_patch_kernel == (14, 14)
     assert cfg.tokens_per_tile == 256
     assert gar_tiny().text.q_per_kv == 2
+
+
+def test_gar_8b_config_consistency():
+    from grasp_any_region_tpu.core.config import gar_8b
+
+    cfg = gar_8b()
+    assert cfg.text.num_heads * cfg.text.head_dim == 4096
+    assert cfg.text.q_per_kv == 4
+    assert cfg.vision.head_dim % 4 == 0  # 2D rope pairs
+    assert cfg.mask_patch_kernel == (14, 14)
+    assert cfg.tokens_per_tile == 256
+    assert cfg.max_num_tiles == 8  # gar_8b trains with 8 tiles
+    assert cfg.padded_vocab_size % 256 == 0
