@@ -59,12 +59,12 @@ def crop_token_ids(prompt_numbers: int) -> Tuple[int, ...]:
     """
     if prompt_numbers <= len(CROP_TOKEN_IDS_5):
         return CROP_TOKEN_IDS_5[:prompt_numbers]
-    # Llama-3 reserved_special_token_k id layout for k >= 2: the tokenizer
-    # assigns reserved tokens to the remaining free slots in 128004..128255.
-    # Named specials occupy 128006, 128007, 128009 (and 128008 belongs to
-    # reserved_4). Beyond the 5 slots the reference hardcodes, reserved tokens
-    # are contiguous from 128011 upward: reserved_{k}|> = 128008 + k - 3.
-    extra = tuple(128008 + k - 3 for k in range(5, prompt_numbers))
+    # Llama-3 reserved-token layout: reserved_0/1 are repurposed as
+    # image/video (128002/128003), reserved_2=128004, reserved_3=128005,
+    # reserved_4=128008, and reserved_k = 128005 + k for k >= 5
+    # (128006/128007 headers and 128009 eot interleave). Crop token for
+    # prompt pid is reserved_{pid+2}, so pid >= 5 -> 128007 + pid.
+    extra = tuple(128007 + pid for pid in range(5, prompt_numbers))
     return CROP_TOKEN_IDS_5 + extra
 
 

@@ -30,7 +30,12 @@ def rasterize_prompts(
     """
     filled = np.full((height, width), -1, np.int16)
     for pid, mask in masks.items():
-        assert 0 <= pid < prompt_numbers
+        if not 0 <= pid < prompt_numbers:
+            # prompts beyond the model's slot count degrade exactly like the
+            # reference: no rasterization (visual_prompt_ids.get falls back
+            # to <NO_Prompt>, eval_dataset.py:233-236) and no feature replay
+            # (the crop-token list only covers prompt_numbers slots)
+            continue
         area = (filled == -1) & mask.astype(bool)
         filled[area] = pid
     filled[filled == -1] = prompt_numbers

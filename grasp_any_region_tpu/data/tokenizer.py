@@ -38,9 +38,10 @@ SPECIAL_TOKENS: Dict[str, int] = {
     "<|video|>": VIDEO_TOKEN_ID,
     "<|start_header_id|>": START_HEADER_ID,
     "<|end_header_id|>": END_HEADER_ID,
-    "<|eom_id|>": 128008,
     "<|eot_id|>": EOT_TOKEN_ID,
-    "<|python_tag|>": 128010,
+    # NOTE: no <|eom_id|>/<|python_tag|> — PLM ships a Llama-3.0-layout
+    # tokenizer where 128008/128010 are reserved_4/reserved_5, repurposed as
+    # crop tokens (hf_models/configuration_gar.py:18)
 }
 # reserved specials used as crop tokens: <|reserved_special_token_{pid+2}|>
 # (ids from hf_models/configuration_gar.py:18)
@@ -62,8 +63,11 @@ class GARTokenizer:
         self.backend = backend
         self.prompt_numbers = prompt_numbers
         self.specials: Dict[str, int] = dict(SPECIAL_TOKENS)
-        for pid, tid in enumerate(crop_token_ids(prompt_numbers)):
-            self.specials[reserved_special_token(pid, prompt_numbers)] = tid
+        # all reserved specials (benchmark questions may reference prompts
+        # beyond the model's slot count; their crop tokens must stay single
+        # tokens even though they never replay)
+        for pid, tid in enumerate(crop_token_ids(max(prompt_numbers, 16))):
+            self.specials[reserved_special_token(pid)] = tid
         for i in range(prompt_numbers):
             self.specials[f"<Prompt{i}>"] = BASE_VOCAB_SIZE + i
         self.specials["<NO_Prompt>"] = BASE_VOCAB_SIZE + prompt_numbers
