@@ -11,8 +11,7 @@ is a first-class primitive:
   per head group, and the inverse all-to-all restores sequence sharding.
 
 Requires H % P == 0 (heads divide the seq axis) — the classic Ulysses
-constraint; ring attention (ops/ring_attention, planned) lifts it for
-extreme contexts.
+constraint; ring attention (parallel/ring.py) lifts it for extreme contexts.
 """
 
 from __future__ import annotations
