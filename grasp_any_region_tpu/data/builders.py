@@ -10,7 +10,7 @@ batch_size=1 enforced), any number of samples batch together.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -288,3 +288,80 @@ def build_region_batch(
     built = [build_sample(cfg, tok, proc, s) for s in samples]
     batch, plens, _ = collate_samples(cfg, built, **collate_kw)
     return batch, plens
+
+
+class PackedTextBatch(NamedTuple):
+    """Fixed-shape packed rows for text-only training.
+
+    TPU-native form of the reference's varlen packed path
+    (custom_collect_fn.py:28-35, 96-106: batch_size-1 rows, no images,
+    cumulative-length args for flash-attn varlen): here many documents share
+    each static (B, L) row and a block-diagonal segment mask inside the flash
+    kernel replaces the cu_seqlens bookkeeping. Padding has segment id 0;
+    documents get 1..K per row; positions restart at 0 per document."""
+
+    input_ids: jnp.ndarray   # (B, L) int32
+    positions: jnp.ndarray   # (B, L) int32, reset per document
+    segment_ids: jnp.ndarray  # (B, L) int32, 0 = pad
+    labels: jnp.ndarray      # (B, L) int32, -100 where unsupervised
+
+
+def pack_text_batch(
+    token_seqs: Sequence[np.ndarray],
+    *,
+    seq_len: int,
+    pad_id: int = 0,
+    labels: Optional[Sequence[np.ndarray]] = None,
+) -> PackedTextBatch:
+    """First-fit-decreasing packing of tokenized conversations into rows of
+    length seq_len.
+
+    labels defaults to chat-template supervision (mask_labels per document,
+    GraspAnyRegion_Dataset.py:504-530 semantics). Cross-document label leak
+    through the 1-token loss shift is impossible because a document's first
+    token (<|begin_of_text|>) is never supervised. Sequences longer than
+    seq_len are truncated (keeping the head, like the reference's max_length
+    crop).
+    """
+    seqs = [np.asarray(s, np.int32)[:seq_len] for s in token_seqs]
+    if labels is None:
+        labs = [mask_labels(s) for s in seqs]
+    else:
+        assert len(labels) == len(seqs)
+        labs = [np.asarray(l, np.int32)[:seq_len] for l in labels]
+        assert all(len(l) == len(s) for l, s in zip(labs, seqs))
+
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]), reverse=True)
+    rows: List[List[int]] = []  # row -> list of seq indices
+    space: List[int] = []       # row -> remaining tokens
+    for i in order:
+        n = len(seqs[i])
+        for r, free in enumerate(space):
+            if free >= n:
+                rows[r].append(i)
+                space[r] -= n
+                break
+        else:
+            rows.append([i])
+            space.append(seq_len - n)
+
+    b = len(rows)
+    ids = np.full((b, seq_len), pad_id, np.int32)
+    pos = np.zeros((b, seq_len), np.int32)
+    seg = np.zeros((b, seq_len), np.int32)
+    lab = np.full((b, seq_len), -100, np.int32)
+    for r, members in enumerate(rows):
+        off = 0
+        for s_no, i in enumerate(members, start=1):
+            n = len(seqs[i])
+            ids[r, off:off + n] = seqs[i]
+            pos[r, off:off + n] = np.arange(n)
+            seg[r, off:off + n] = s_no
+            lab[r, off:off + n] = labs[i]
+            off += n
+    return PackedTextBatch(
+        input_ids=jnp.asarray(ids),
+        positions=jnp.asarray(pos),
+        segment_ids=jnp.asarray(seg),
+        labels=jnp.asarray(lab),
+    )

@@ -106,18 +106,30 @@ def mha(
 
     right_padded=True asserts that segment_ids encodes nothing but trailing
     padding; under a causal mask real tokens can never attend to trailing
-    pads, so the flash kernel (which has no segment support) stays exact.
-    Packed multi-document rows must keep right_padded=False.
+    pads, so the flash kernel can drop the segment mask and stay exact.
+    Packed multi-document rows keep right_padded=False and use the kernel's
+    block-diagonal segment masking (self-attention only, Sq == Sk).
     """
     sq = q.shape[1]
-    flash_safe = segment_ids is None or (causal and right_padded)
+    # the kernel ignores segments when causality already covers them
+    # (right-padded), and applies them in-kernel for packed self-attention
+    flash_safe = (
+        segment_ids is None
+        or (causal and right_padded)
+        or (causal and sq == k.shape[1])
+    )
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
         use_flash = on_tpu and sq >= 1024 and flash_safe
     if use_flash and flash_safe:
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal, scale=scale)
+        flash_segs = None
+        if segment_ids is not None and not (causal and right_padded):
+            flash_segs = segment_ids
+        return flash_attention(
+            q, k, v, causal=causal, scale=scale, segment_ids=flash_segs
+        )
     return mha_reference(
         q, k, v, causal=causal, segment_ids=segment_ids, scale=scale
     )

@@ -37,11 +37,10 @@ def _flash_kernel(
     q_ref,  # (BQ, D)
     k_ref,  # (Sk, D)
     v_ref,  # (Sk, D)
-    o_ref,  # (BQ, D)
-    acc_ref,  # (BQ, D) f32 scratch
-    m_ref,  # (BQ, 128) f32 scratch
-    l_ref,  # (BQ, 128) f32 scratch
-    *,
+    # with segments=True two extra inputs precede the output:
+    #   qseg_ref (BQ, 1), kseg_ref (1, Sk) int32 (layouts chosen to satisfy
+    #   Mosaic's (8, 128)-divisible-or-full block constraint)
+    *refs,
     scale: float,
     causal: bool,
     block_q: int,
@@ -49,7 +48,12 @@ def _flash_kernel(
     sk: int,
     kv_valid: int,
     q_offset: int,
+    segments: bool,
 ):
+    if segments:
+        qseg_ref, kseg_ref, o_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
     qi = pl.program_id(1)
     q = q_ref[:].astype(jnp.float32) * scale
 
@@ -67,6 +71,7 @@ def _flash_kernel(
 
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     mask_kv_tail = kv_valid < sk  # static: padded keys need masking
+    masked = causal or mask_kv_tail or segments
 
     def body(ki, _):
         k_blk = k_ref[pl.ds(ki * block_k, block_k), :]
@@ -76,18 +81,28 @@ def _flash_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BQ, BK)
-        if causal or mask_kv_tail:
+        if masked:
             k_ids = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
             ok = k_ids < kv_valid
             if causal:
                 ok = ok & (q_ids >= k_ids)
+            if segments:
+                qseg = qseg_ref[:]  # (BQ, 1)
+                kseg = kseg_ref[:, pl.ds(ki * block_k, block_k)]  # (1, BK)
+                ok = ok & (qseg == kseg)
             s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_ref[:, :1]  # (BQ, 1)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_cur)  # (BQ, BK)
+        if segments:
+            # a block fully masked for some q row leaves s == m_cur == NEG_INF
+            # there -> exp(0) == 1; zero those probs explicitly (can't happen
+            # with causal/tail masks alone: block 0 / the last partial block
+            # always has a visible key)
+            p = jnp.where(ok, p, 0.0)
         alpha = jnp.exp(m_prev - m_cur)  # (BQ, 1)
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -108,15 +123,23 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     causal: bool = True,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) int; 0 = padding
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """segment_ids enables packed multi-document rows (block-diagonal mask,
+    the reference's unused varlen path, custom_collect_fn.py:96-106):
+    self-attention only (Sq == Sk), token i attends token j iff causal AND
+    segment_ids[b,i] == segment_ids[b,j]. Padding (id 0) attends only padding."""
     b, sq, h, d = q.shape
     _, sk, kh, _ = k.shape
     assert h % kh == 0
     group = h // kh
+    if segment_ids is not None:
+        assert sq == sk, "segment_ids requires self-attention (Sq == Sk)"
+        assert segment_ids.shape == (b, sq), segment_ids.shape
     if scale is None:
         scale = d ** -0.5
     # d=128 kernels blow up Mosaic compile time with big blocks; keep the
@@ -139,6 +162,9 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
     sq_p, sk_p = sq + pq, sk + pk
+    if segment_ids is not None:
+        qseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pq)))[:, :, None]
+        kseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
 
     qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
     khh = k.transpose(0, 2, 1, 3).reshape(b * kh, sk_p, d)
@@ -156,18 +182,28 @@ def flash_attention(
         sk=sk_p,
         kv_valid=sk,
         q_offset=q_offset,
+        segments=segment_ids is not None,
     )
 
     grid = (b * h, sq_p // block_q)
 
+    in_specs = [
+        pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        pl.BlockSpec((None, sk_p, d), lambda bh, qi, g=group: (bh // g, 0, 0)),
+        pl.BlockSpec((None, sk_p, d), lambda bh, qi, g=group: (bh // g, 0, 0)),
+    ]
+    operands = [qh, khh, vhh]
+    if segment_ids is not None:
+        in_specs += [
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi, h=h: (bh // h, qi, 0)),
+            pl.BlockSpec((None, 1, sk_p), lambda bh, qi, h=h: (bh // h, 0, 0)),
+        ]
+        operands += [qseg, kseg]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((None, sk_p, d), lambda bh, qi, g=group: (bh // g, 0, 0)),
-            pl.BlockSpec((None, sk_p, d), lambda bh, qi, g=group: (bh // g, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
         scratch_shapes=[
@@ -176,7 +212,7 @@ def flash_attention(
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qh, khh, vhh)
+    )(*operands)
 
     out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import GARConfig
 from ..models.gar import GARBatch, build_prefill_embeds
-from ..models.llama import llama_prefill
+from ..models.llama import embed_tokens, llama_prefill
 from ..parallel.sharding import batch_pspecs, shard_params
 from .losses import chunked_cross_entropy, shift_labels
 from .optimizer import OptimizerConfig, make_optimizer
@@ -58,6 +58,56 @@ def loss_fn(
         params["llm"], cfg.text, hidden, shift_labels(labels),
         valid_vocab=cfg.extended_vocab_size,
     )
+
+
+def packed_loss_fn(
+    params: Any,
+    cfg: GARConfig,
+    packed,  # data.builders.PackedTextBatch
+    *,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Loss over packed text-only rows (many documents per row, block-diagonal
+    segment mask; the reference's varlen path, custom_collect_fn.py:96-106).
+
+    right_padded=False routes attention through the segment-aware flash
+    kernel; per-document position ids come pre-reset from pack_text_batch."""
+    embeds = embed_tokens(params["llm"], packed.input_ids, jnp.bfloat16)
+    hidden, _ = llama_prefill(
+        params["llm"], cfg.text, embeds, packed.positions,
+        segment_ids=packed.segment_ids, remat=True, use_flash=use_flash,
+        right_padded=False,
+    )
+    return chunked_cross_entropy(
+        params["llm"], cfg.text, hidden, shift_labels(packed.labels),
+        valid_vocab=cfg.extended_vocab_size,
+    )
+
+
+def make_packed_train_step(
+    cfg: GARConfig,
+    tx: optax.GradientTransformation,
+    *,
+    use_flash: Optional[bool] = None,
+    donate: bool = True,
+):
+    """Train step over PackedTextBatch rows. Pair with a frozen-vision
+    optimizer regime (train/optimizer.py) — the packed path never touches
+    vision params, so their gradients are zero."""
+
+    def step_fn(state: TrainState, packed):
+        loss, grads = jax.value_and_grad(
+            lambda p: packed_loss_fn(p, cfg, packed, use_flash=use_flash)
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def init_sharded_state(
