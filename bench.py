@@ -77,12 +77,63 @@ def run_config(batch_size: int, iters: int = 3, quantize: bool = False):
     return caps
 
 
+def run_serving(n_requests: int = 6, slots: int = 4, new_tokens: int = 64):
+    """Informational: continuous-batching engine (paged KV, serve/engine.py).
+
+    Unlike the static-batch configs above, requests are admitted into a slot
+    ring as pages free up — the serving-mode number the reference stack
+    cannot produce at all (HF generate, one request at a time)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_1b
+    from grasp_any_region_tpu.data.synthetic import synthetic_batch
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.serve.engine import (
+        ContinuousBatchingEngine,
+        EngineConfig,
+    )
+
+    cfg = gar_1b()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    reqs = []
+    for i in range(n_requests):
+        b, _, pl = synthetic_batch(cfg, batch=1, grid=(4, 4), regions=1, seed=i)
+        reqs.append((b, int(np.asarray(pl)[0])))
+    ecfg = EngineConfig(
+        slots=slots, page_size=64, num_pages=slots * 80 + 1,
+        max_pages_per_slot=80, max_new_tokens=new_tokens, eot_id=-1,
+        mask_compat=False, decode_chunk=32,
+    )
+    eng = ContinuousBatchingEngine(params, cfg, ecfg)
+    for b, pl in reqs[:2]:  # compile warmup
+        eng.submit(b, pl)
+    eng.run()
+    t0 = time.time()
+    for b, pl in reqs:
+        eng.submit(b, pl)
+    out = eng.run()
+    dt = time.time() - t0
+    assert len(out) == n_requests
+    print(
+        f"[bench] serving (paged KV, {slots} slots, {n_requests} reqs x "
+        f"{new_tokens} tok): {dt:.2f}s -> {n_requests/dt:.2f} requests/s, "
+        f"{n_requests*new_tokens/dt:.0f} tok/s",
+        file=sys.stderr,
+    )
+
+
 def main():
     from grasp_any_region_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
     results = [run_config(b) for b in (1, 8)]
     run_config(8, quantize=True)  # informational: int8 decode weights
+    try:
+        run_serving()  # informational: continuous-batching serving mode
+    except Exception as e:  # pragma: no cover - keep the headline robust
+        print(f"[bench] serving config skipped: {e}", file=sys.stderr)
     best = max(results)
     print(
         json.dumps(

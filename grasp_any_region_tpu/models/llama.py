@@ -304,6 +304,69 @@ def llama_decode_step_fused(
     )
 
 
+def llama_decode_step_paged(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, 1, D) — B = engine slots
+    k_pool: jnp.ndarray,  # (L, K, N, PS, Dh) page pools (serve/paged_cache.py)
+    v_pool: jnp.ndarray,
+    block_table: jnp.ndarray,  # (B, MP) int32
+    seq_lens: jnp.ndarray,     # (B,) int32 cached tokens per slot (pre-step)
+    active: jnp.ndarray,       # (B,) bool
+    *,
+    use_kernel: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step against the paged KV pool (continuous batching: every
+    slot has its own length — no shared write_pos like KVCache).
+
+    The new token's K/V lands at position seq_lens[b] (page
+    block_table[b, seq_lens//PS], offset seq_lens%PS); inactive slots write
+    the reserved trash page 0. Returns (hidden (B,1,D), k_pool, v_pool) —
+    callers thread the pools (donated in the engine's jit) and bump seq_lens
+    host-side.
+
+    The layer loop is a STATIC Python unroll (not fori_loop): a traced layer
+    index would dynamic-slice a pool slab per layer (whole-pool reads —
+    the defensive-copy trap documented in llama_decode_step), whereas static
+    layer offsets keep every pool access a scatter/gather of just the
+    touched pages.
+    """
+    b = inputs_embeds.shape[0]
+    h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ps = k_pool.shape[3]
+    inv = llama_inv_freq(cfg)
+    cos, sin = rope_cos_sin(seq_lens[:, None], inv)  # new token position
+    eps = cfg.rms_norm_eps
+    rows = jnp.arange(b)
+    pid = jnp.where(active, block_table[rows, seq_lens // ps], 0)
+    off = jnp.where(active, seq_lens % ps, 0)
+    post_lens = seq_lens + 1  # attention covers the token being written
+
+    def attend(q, kl, vl):
+        if use_kernel:
+            from ..ops.paged_attention import paged_attention
+
+            return paged_attention(q, kl, vl, block_table, post_lens)
+        from ..ops.paged_attention import paged_attention_reference
+
+        return paged_attention_reference(q, kl, vl, block_table, post_lens)
+
+    x = inputs_embeds
+    for l in range(cfg.num_layers):
+        bp = jax.tree_util.tree_map(lambda p: p[l], params["blocks"])
+        y = rms_norm(x, bp["attn_norm"], eps)
+        q, k, v = _qkv(cfg, bp, y, cos, sin)  # (B,1,H,Dh)/(B,1,K,Dh)
+        # NB: integer l + slice + advanced (pid, off) -> numpy moves the
+        # advanced (B,) dims to the FRONT: the indexed target is (B, K, Dh)
+        k_pool = k_pool.at[l, :, pid, off].set(k[:, 0].astype(k_pool.dtype))
+        v_pool = v_pool.at[l, :, pid, off].set(v[:, 0].astype(v_pool.dtype))
+        a = attend(q[:, 0], k_pool[l], v_pool[l])  # (B, H, Dh)
+        x = x + (a.reshape(b, 1, -1) @ bp["wo"].astype(x.dtype))
+        y = rms_norm(x, bp["mlp_norm"], eps)
+        x = x + _mlp(bp, y)
+    return x, k_pool, v_pool
+
+
 def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return params["embed"].astype(dtype)[input_ids]
 

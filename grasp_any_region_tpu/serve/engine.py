@@ -1,0 +1,293 @@
+"""Continuous-batching serving engine over the paged KV cache.
+
+The reference serves one request at a time: each demo/eval call runs a full
+HF `generate` with a private cache (hf_models/modeling_gar.py:418-427,
+batch_size 1 enforced in training too, grasp_any_region.py:270). This engine
+instead keeps a fixed ring of decode slots over one paged KV pool
+(serve/paged_cache.py) and interleaves work:
+
+  * requests queue up; whenever a slot and enough pages are free, the
+    request is admitted: its multimodal prompt runs through the jitted GAR
+    prefill, the prompt K/V is scattered into freshly allocated pages, and
+    its first token is sampled.
+  * every `step()` decodes ONE token for ALL active slots in a single jitted
+    call (the pools are donated, so XLA appends K/V in place). Slots finish
+    independently (eot / max_new_tokens) and release their pages, making
+    room for queued admissions — no other request is disturbed.
+
+This is the "paged KV generate loop" SURVEY.md §2.2 assigns to the TPU
+build (the reference only encounters paging inside its vLLM judge server,
+serve_judge.sh). Greedy decoding matches all reference evals
+(GAR-Bench/inference.py:158-167).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Deque, Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EOT_TOKEN_ID, GARConfig
+from ..models.gar import GARBatch, gar_prefill
+from ..models.llama import embed_tokens, llama_decode_step_paged, lm_logits
+from .paged_cache import PageAllocator, init_paged_kv, pages_needed, write_prompt_pages
+
+
+@dataclass
+class EngineConfig:
+    slots: int = 8                # concurrent decode streams
+    page_size: int = 64
+    num_pages: int = 512          # pool size (page 0 reserved)
+    max_pages_per_slot: int = 96  # block-table width
+    max_new_tokens: int = 1024
+    eot_id: int = EOT_TOKEN_ID
+    pad_id: int = 0
+    use_kernel: bool = False      # Pallas paged-attention kernel
+    mask_compat: bool = True
+    double_scale_compat: bool = True
+    # decode this many tokens per device call (multi-step scheduling):
+    # admissions/retirements happen at chunk boundaries; streams that hit
+    # <eot> mid-chunk decode garbage into their own pages until the boundary
+    # (discarded on host). 1 = per-token scheduling.
+    decode_chunk: int = 1
+
+
+class StepEvent(NamedTuple):
+    request_id: int
+    token: int
+    done: bool
+
+
+@dataclass
+class _SlotState:
+    request_id: int
+    pages: List[int]
+    tokens: List[int] = field(default_factory=list)
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, params: dict, cfg: GARConfig, ecfg: EngineConfig,
+                 dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        tc = cfg.text
+        paged = init_paged_kv(
+            tc.num_layers, ecfg.num_pages, ecfg.page_size,
+            tc.num_kv_heads, tc.head_dim,
+            slots=ecfg.slots, max_pages_per_slot=ecfg.max_pages_per_slot,
+            dtype=dtype,
+        )
+        self.k_pool, self.v_pool = paged.k, paged.v
+        self.allocator = PageAllocator(ecfg.num_pages)
+        self.block_table = np.zeros((ecfg.slots, ecfg.max_pages_per_slot), np.int32)
+        self.seq_lens = np.zeros(ecfg.slots, np.int32)
+        self.active = np.zeros(ecfg.slots, bool)
+        self.cur = np.zeros(ecfg.slots, np.int32)
+        self.slots: List[Optional[_SlotState]] = [None] * ecfg.slots
+        self.queue: Deque[Tuple[int, GARBatch, int]] = deque()
+        self.finished: Dict[int, List[int]] = {}
+        self._next_id = 0
+
+        @partial(jax.jit, static_argnames=("self_cfg",))
+        def _prefill(params, self_cfg, batch, prompt_len):
+            hidden, kv = gar_prefill(
+                params, self_cfg, batch,
+                mask_compat=ecfg.mask_compat,
+                double_scale_compat=ecfg.double_scale_compat,
+            )
+            last = hidden[jnp.arange(hidden.shape[0]), prompt_len - 1]
+            logits = lm_logits(
+                params["llm"], self_cfg.text, last,
+                valid_vocab=self_cfg.extended_vocab_size,
+            )
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return tok0, kv
+
+        self._prefill_fn = _prefill
+        self._seed_fn = jax.jit(write_prompt_pages, donate_argnums=(0, 1))
+
+        @partial(jax.jit, donate_argnums=(1, 2), static_argnames=())
+        def _decode(params, k_pool, v_pool, cur, block_table, seq_lens, active):
+            embeds = embed_tokens(params["llm"], cur[:, None], dtype)
+            hidden, k_pool, v_pool = llama_decode_step_paged(
+                params["llm"], cfg.text, embeds, k_pool, v_pool,
+                block_table, seq_lens, active, use_kernel=ecfg.use_kernel,
+            )
+            logits = lm_logits(
+                params["llm"], cfg.text, hidden[:, 0],
+                valid_vocab=cfg.extended_vocab_size,
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_pool, v_pool
+
+        self._decode_fn = _decode
+
+        @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("steps",))
+        def _decode_chunk(params, k_pool, v_pool, cur, block_table, seq_lens,
+                          active, steps):
+            def body(carry, _):
+                cur, sl, kq, vq = carry
+                embeds = embed_tokens(params["llm"], cur[:, None], dtype)
+                hidden, kq, vq = llama_decode_step_paged(
+                    params["llm"], cfg.text, embeds, kq, vq,
+                    block_table, sl, active, use_kernel=ecfg.use_kernel,
+                )
+                logits = lm_logits(
+                    params["llm"], cfg.text, hidden[:, 0],
+                    valid_vocab=cfg.extended_vocab_size,
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                sl = sl + active.astype(jnp.int32)
+                return (nxt, sl, kq, vq), nxt
+
+            (cur, sl, k_pool, v_pool), toks = jax.lax.scan(
+                body, (cur, seq_lens, k_pool, v_pool), length=steps
+            )
+            return toks, k_pool, v_pool  # toks: (steps, slots)
+
+        self._decode_chunk_fn = _decode_chunk
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, batch: GARBatch, prompt_len: int) -> int:
+        """Queue one request (batch must have batch dim 1). Returns its id."""
+        assert batch.input_ids.shape[0] == 1, "submit one request at a time"
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append((rid, batch, int(prompt_len)))
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or bool(self.active.any())
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain the queue to completion; returns request_id -> token ids."""
+        while self.has_work():
+            self.step_chunk() if self.ecfg.decode_chunk > 1 else self.step()
+        out, self.finished = self.finished, {}
+        return out
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _budget_pages(self, prompt_len: int) -> int:
+        # decode_chunk-1 slack: a stream finishing mid-chunk keeps caching
+        # (discarded) tokens until the chunk boundary
+        n = pages_needed(
+            prompt_len + self.ecfg.max_new_tokens + self.ecfg.decode_chunk - 1,
+            self.ecfg.page_size,
+        )
+        assert n <= self.ecfg.max_pages_per_slot, (
+            f"request needs {n} pages > block-table width "
+            f"{self.ecfg.max_pages_per_slot}"
+        )
+        return n
+
+    def _admit(self) -> None:
+        while self.queue:
+            rid, batch, plen = self.queue[0]
+            need = self._budget_pages(plen)
+            free_slots = [i for i in range(self.ecfg.slots) if not self.active[i]]
+            if not free_slots or self.allocator.free_pages < need:
+                return
+            self.queue.popleft()
+            slot = free_slots[0]
+            pages = self.allocator.alloc(need)
+            mp = self.ecfg.max_pages_per_slot
+
+            tok0, kv = self._prefill_fn(self.params, self.cfg, batch, plen)
+            ks, vs = kv  # (L, 1, S, K, D)
+            page_vec = np.zeros(mp, np.int32)
+            page_vec[: len(pages)] = pages
+            self.k_pool, self.v_pool = self._seed_fn(
+                self.k_pool, self.v_pool, ks[:, 0], vs[:, 0],
+                jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
+            )
+            tok0 = int(np.asarray(tok0)[0])
+            self.block_table[slot] = page_vec
+            self.seq_lens[slot] = plen
+            self.cur[slot] = tok0
+            self.slots[slot] = _SlotState(request_id=rid, pages=pages, tokens=[tok0])
+            self.active[slot] = True
+            if tok0 == self.ecfg.eot_id or self.ecfg.max_new_tokens == 1:
+                self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        st = self.slots[slot]
+        self.finished[st.request_id] = st.tokens
+        self.allocator.release(st.pages)
+        self.block_table[slot] = 0
+        self.seq_lens[slot] = 0
+        self.active[slot] = False
+        self.slots[slot] = None
+
+    # -- one engine tick ----------------------------------------------------
+
+    def step(self) -> List[StepEvent]:
+        self._admit()
+        if not self.active.any():
+            return []
+        nxt, self.k_pool, self.v_pool = self._decode_fn(
+            self.params, self.k_pool, self.v_pool,
+            jnp.asarray(self.cur), jnp.asarray(self.block_table),
+            jnp.asarray(self.seq_lens), jnp.asarray(self.active),
+        )
+        nxt = np.asarray(nxt)
+        events: List[StepEvent] = []
+        for slot in range(self.ecfg.slots):
+            if not self.active[slot]:
+                continue
+            st = self.slots[slot]
+            self.seq_lens[slot] += 1  # the step cached cur's K/V
+            tok = int(nxt[slot])
+            st.tokens.append(tok)
+            self.cur[slot] = tok
+            done = (
+                tok == self.ecfg.eot_id
+                or len(st.tokens) >= self.ecfg.max_new_tokens
+            )
+            events.append(StepEvent(st.request_id, tok, done))
+            if done:
+                self._retire(slot)
+        return events
+
+    def step_chunk(self) -> List[StepEvent]:
+        """Decode `decode_chunk` tokens for all active slots in one device
+        call (amortizes host round-trips); schedule at the boundary."""
+        self._admit()
+        if not self.active.any():
+            return []
+        t_steps = self.ecfg.decode_chunk
+        toks, self.k_pool, self.v_pool = self._decode_chunk_fn(
+            self.params, self.k_pool, self.v_pool,
+            jnp.asarray(self.cur), jnp.asarray(self.block_table),
+            jnp.asarray(self.seq_lens), jnp.asarray(self.active),
+            steps=t_steps,
+        )
+        toks = np.asarray(toks)  # (T, slots)
+        events: List[StepEvent] = []
+        for slot in range(self.ecfg.slots):
+            if not self.active[slot]:
+                continue
+            st = self.slots[slot]
+            finished = False
+            for t in range(t_steps):
+                tok = int(toks[t, slot])
+                st.tokens.append(tok)
+                finished = (
+                    tok == self.ecfg.eot_id
+                    or len(st.tokens) >= self.ecfg.max_new_tokens
+                )
+                events.append(StepEvent(st.request_id, tok, finished))
+                if finished:
+                    break
+            if finished:
+                self._retire(slot)  # tokens past <eot> in this chunk dropped
+            else:
+                self.seq_lens[slot] += t_steps
+                self.cur[slot] = int(toks[t_steps - 1, slot])
+        return events

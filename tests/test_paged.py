@@ -1,0 +1,218 @@
+"""Paged KV cache, paged attention, and the continuous-batching engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grasp_any_region_tpu.ops.attention import mha_reference
+from grasp_any_region_tpu.ops.paged_attention import (
+    paged_attention,
+    paged_attention_reference,
+)
+from grasp_any_region_tpu.serve.paged_cache import (
+    PageAllocator,
+    append_token_pages,
+    pages_needed,
+    write_prompt_pages,
+)
+
+
+def _paginate(rng, k, v, page_size, num_pages, max_pages):
+    """Scatter contiguous (B,S,K,D) k/v into a random head-major page layout
+    ((K, N, PS, D) pools)."""
+    b, s, kh, d = k.shape
+    mp_used = -(-s // page_size)
+    assert mp_used <= max_pages
+    pool_k = rng.standard_normal((kh, num_pages, page_size, d)).astype(k.dtype)
+    pool_v = rng.standard_normal((kh, num_pages, page_size, d)).astype(v.dtype)
+    ids = rng.permutation(np.arange(1, num_pages))[: b * mp_used]
+    bt = np.zeros((b, max_pages), np.int32)
+    pad = mp_used * page_size - s
+    for i in range(b):
+        own = ids[i * mp_used:(i + 1) * mp_used]
+        bt[i, :mp_used] = own
+        # (S, K, D) -> (K, MP, PS, D)
+        kp = np.pad(k[i], ((0, pad), (0, 0), (0, 0))).transpose(1, 0, 2)
+        vp = np.pad(v[i], ((0, pad), (0, 0), (0, 0))).transpose(1, 0, 2)
+        pool_k[:, own] = kp.reshape(kh, mp_used, page_size, d)
+        pool_v[:, own] = vp.reshape(kh, mp_used, page_size, d)
+    return pool_k, pool_v, bt
+
+
+@pytest.mark.parametrize("impl", ["reference", "kernel"])
+def test_paged_attention_matches_dense(rng, impl):
+    b, s, h, kh, d, ps = 3, 100, 4, 2, 64, 32
+    q = rng.standard_normal((b, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, kh, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, kh, d)).astype(np.float32)
+    seq_lens = np.asarray([100, 37, 64], np.int32)
+    pool_k, pool_v, bt = _paginate(rng, k, v, ps, num_pages=32, max_pages=4)
+
+    if impl == "reference":
+        out = paged_attention_reference(
+            jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
+            jnp.asarray(bt), jnp.asarray(seq_lens),
+        )
+    else:
+        out = paged_attention(
+            jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
+            jnp.asarray(bt), jnp.asarray(seq_lens), interpret=True,
+        )
+    # dense reference: mask keys beyond each row's seq_len via kv segment ids
+    ref = mha_reference(
+        jnp.asarray(q)[:, None], jnp.asarray(k), jnp.asarray(v),
+        segment_ids=jnp.ones((b, 1), jnp.int32),
+        kv_segment_ids=jnp.asarray(
+            (np.arange(s)[None] < seq_lens[:, None]).astype(np.int32)),
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_page_allocator():
+    a = PageAllocator(8)
+    assert a.free_pages == 7  # page 0 reserved
+    got = a.alloc(7)
+    assert sorted(got) == list(range(1, 8))
+    assert a.alloc(1) is None
+    a.release([3, 5])
+    assert a.free_pages == 2
+    assert pages_needed(1, 16) == 1 and pages_needed(16, 16) == 1
+    assert pages_needed(17, 16) == 2 and pages_needed(0, 16) == 1
+
+
+def test_write_and_append_roundtrip(rng):
+    l, s, kh, d, ps, n = 2, 10, 2, 8, 4, 8
+    k_pool = jnp.zeros((l, kh, n, ps, d), jnp.float32)
+    v_pool = jnp.zeros((l, kh, n, ps, d), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((l, s, kh, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((l, s, kh, d)), jnp.float32)
+    pages = np.array([5, 2, 7, 0], np.int32)  # 3 used + trash tail
+    k_pool, v_pool = write_prompt_pages(
+        k_pool, v_pool, k_new, v_new, jnp.asarray(pages),
+        jnp.asarray(s, jnp.int32),
+    )
+    # append two decode tokens at positions 10, 11 (page 2 of the table)
+    bt = jnp.asarray(pages[None])  # one slot
+    for t in range(2):
+        kt = jnp.asarray(rng.standard_normal((l, 1, kh, d)), jnp.float32)
+        vt = jnp.asarray(rng.standard_normal((l, 1, kh, d)), jnp.float32)
+        k_pool, v_pool = append_token_pages(
+            k_pool, v_pool, kt, vt, bt,
+            jnp.asarray([s + t], jnp.int32), jnp.asarray([True]),
+        )
+        k_new = jnp.concatenate([k_new, kt], axis=1)
+        v_new = jnp.concatenate([v_new, vt], axis=1)
+    # gather back through the block table: (L,K,N,PS,D) -> (L, S, K, D)
+    got_k = np.asarray(k_pool)[:, :, pages].reshape(l, kh, -1, d)
+    got_v = np.asarray(v_pool)[:, :, pages].reshape(l, kh, -1, d)
+    got_k = got_k.transpose(0, 2, 1, 3)[:, : s + 2]
+    got_v = got_v.transpose(0, 2, 1, 3)[:, : s + 2]
+    np.testing.assert_allclose(got_k, np.asarray(k_new), rtol=0, atol=0)
+    np.testing.assert_allclose(got_v, np.asarray(v_new), rtol=0, atol=0)
+
+
+def test_append_inactive_writes_trash_page(rng):
+    l, kh, d, ps, n = 1, 2, 8, 4, 4
+    k_pool = jnp.zeros((l, kh, n, ps, d), jnp.float32)
+    v_pool = jnp.zeros((l, kh, n, ps, d), jnp.float32)
+    kt = jnp.ones((l, 1, kh, d), jnp.float32)
+    bt = jnp.asarray([[2, 3]], jnp.int32)
+    k_pool, v_pool = append_token_pages(
+        k_pool, v_pool, kt, kt, bt,
+        jnp.asarray([5], jnp.int32), jnp.asarray([False]),
+    )
+    assert float(np.abs(np.asarray(k_pool)[:, :, 1:]).sum()) == 0.0
+    assert float(np.abs(np.asarray(k_pool)[:, :, 0]).sum()) > 0.0
+
+
+def _tiny_setup(seed):
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.data.synthetic import synthetic_batch
+    from grasp_any_region_tpu.models import init_gar_params
+
+    cfg = gar_tiny()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    batches = []
+    for s in range(3):
+        b, _, plens = synthetic_batch(cfg, batch=1, grid=(1, 1), regions=1,
+                                      seed=seed + s)
+        batches.append((b, plens))
+    return cfg, params, batches
+
+
+def test_engine_matches_generate(rng):
+    from grasp_any_region_tpu.models.generate import generate
+    from grasp_any_region_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    cfg, params, batches = _tiny_setup(7)
+    max_new = 6
+
+    expected = {}
+    for i, (b, plens) in enumerate(batches):
+        res = generate(params, cfg, b, plens, max_new_tokens=max_new,
+                       eot_id=-1, mask_compat=False, use_flash=False)
+        expected[i] = list(np.asarray(res.tokens)[0])
+
+    ecfg = EngineConfig(
+        slots=3, page_size=16, num_pages=128, max_pages_per_slot=64,
+        max_new_tokens=max_new, eot_id=-1, mask_compat=False,
+    )
+    eng = ContinuousBatchingEngine(params, cfg, ecfg, dtype=jnp.float32)
+    ids = {}
+    for i, (b, plens) in enumerate(batches):
+        ids[eng.submit(b, int(np.asarray(plens)[0]))] = i
+    out = eng.run()
+    assert len(out) == 3
+    for rid, toks in out.items():
+        assert toks == expected[ids[rid]], (rid, toks, expected[ids[rid]])
+
+
+def test_engine_chunked_decode_matches_per_token(rng):
+    """decode_chunk>1 (multi-step scheduling) emits identical tokens."""
+    from grasp_any_region_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    cfg, params, batches = _tiny_setup(33)
+    max_new = 7
+    base = dict(slots=3, page_size=16, num_pages=128, max_pages_per_slot=64,
+                max_new_tokens=max_new, eot_id=-1, mask_compat=False)
+    results = []
+    for chunk in (1, 3):
+        eng = ContinuousBatchingEngine(
+            params, cfg, EngineConfig(decode_chunk=chunk, **base),
+            dtype=jnp.float32)
+        ids = [eng.submit(b, int(np.asarray(p)[0])) for b, p in batches]
+        out = eng.run()
+        results.append([out[i] for i in ids])
+    assert results[0] == results[1]
+
+
+def test_engine_staggered_admission(rng):
+    """Requests submitted mid-flight produce the same tokens as fresh runs."""
+    from grasp_any_region_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    cfg, params, batches = _tiny_setup(21)
+    max_new = 5
+    ecfg = EngineConfig(
+        slots=3, page_size=16, num_pages=128, max_pages_per_slot=64,
+        max_new_tokens=max_new, eot_id=-1, mask_compat=False,
+    )
+
+    # sequential baseline: one request at a time
+    seq_tokens = []
+    for b, plens in batches:
+        eng = ContinuousBatchingEngine(params, cfg, ecfg, dtype=jnp.float32)
+        rid = eng.submit(b, int(np.asarray(plens)[0]))
+        seq_tokens.append(eng.run()[rid])
+
+    # staggered: 2 up front (fills both slots), third queued after 2 steps
+    eng = ContinuousBatchingEngine(params, cfg, ecfg, dtype=jnp.float32)
+    r0 = eng.submit(batches[0][0], int(np.asarray(batches[0][1])[0]))
+    r1 = eng.submit(batches[1][0], int(np.asarray(batches[1][1])[0]))
+    eng.step(); eng.step()
+    r2 = eng.submit(batches[2][0], int(np.asarray(batches[2][1])[0]))
+    out = eng.run()
+    assert out[r0] == seq_tokens[0]
+    assert out[r1] == seq_tokens[1]
+    assert out[r2] == seq_tokens[2]
