@@ -4,10 +4,12 @@ The reference resizes with torchvision's tensor bicubic+antialias
 (image_processing_perception_lm_fast.py:268-290, resample=BICUBIC) for RGB
 and NEAREST for the prompt-id matrix (GraspAnyRegion_Dataset.py:123-128).
 Both torchvision-antialias and PIL implement the same classic algorithm:
-separable convolution with the Keys bicubic kernel (a = -0.5), filter支持
-scaled by the downsampling factor, weights normalized per output pixel.
-This is an independent numpy implementation of that algorithm, golden-tested
-against PIL in tests/test_data.py.
+separable convolution with the Keys bicubic kernel (a = -0.5), filter
+support scaled by the downsampling factor, weights normalized per output
+pixel. This is an independent numpy implementation of that algorithm,
+golden-tested against PIL in tests/test_data.py; resize_bicubic dispatches
+to the multithreaded C++ version (native/resize.cc, same math) when the
+native library is available.
 """
 
 from __future__ import annotations
@@ -57,11 +59,20 @@ def _axis_weights(in_size: int, out_size: int, antialias: bool = True):
     return idx_c, w.astype(np.float64)
 
 
-def resize_bicubic(img: np.ndarray, out_h: int, out_w: int, antialias: bool = True) -> np.ndarray:
+def resize_bicubic(
+    img: np.ndarray, out_h: int, out_w: int, antialias: bool = True,
+    use_native: bool = True,
+) -> np.ndarray:
     """img (H, W, C) or (H, W) float/uint8 -> (out_h, out_w[, C]) float64.
 
     Caller clamps/casts (PIL clamps uint8; the model pipeline keeps float).
     """
+    if use_native:
+        from .resize_native import resize_bicubic_native
+
+        out = resize_bicubic_native(img, out_h, out_w, antialias)
+        if out is not None:
+            return out
     squeeze = img.ndim == 2
     if squeeze:
         img = img[:, :, None]

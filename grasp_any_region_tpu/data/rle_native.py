@@ -25,17 +25,26 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.abspath(os.path.join(_ROOT, "libgar_native.so"))
-    if not os.path.exists(so):
-        src = os.path.abspath(os.path.join(_ROOT, "rle.cc"))
-        if not os.path.exists(src):
+    srcs = [
+        os.path.abspath(os.path.join(_ROOT, f))
+        for f in ("rle.cc", "resize.cc")
+        if os.path.exists(os.path.join(_ROOT, f))
+    ]
+    stale = os.path.exists(so) and any(
+        os.path.getmtime(s) > os.path.getmtime(so) for s in srcs
+    )
+    if (not os.path.exists(so)) or stale:
+        if not srcs:
             return None
         try:
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", so, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 "-o", so] + srcs,
                 check=True, capture_output=True,
             )
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

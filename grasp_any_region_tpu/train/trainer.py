@@ -24,6 +24,7 @@ import jax
 from ..core.config import GARConfig
 from ..core.mesh import MeshSpec, make_mesh
 from ..data.builders import collate_samples
+from ..data.loader import PrefetchLoader
 from ..data.dataset import DatasetConfig, GraspAnyRegionDataset, length_grouped_indices
 from ..data.tokenizer import GARTokenizer
 from .checkpoints import CheckpointManager
@@ -43,6 +44,11 @@ class TrainerConfig:
     seed: int = 42
     mesh: Optional[MeshSpec] = None
     resume: bool = True
+    # host pipeline (reference: torch DataLoader num_workers=4,
+    # configs/gar_1b.py:110-120); threads overlap because the hot per-sample
+    # work (native RLE decode, native bicubic resize) releases the GIL
+    num_workers: int = 4
+    prefetch_batches: int = 2
 
 
 class Trainer:
@@ -91,12 +97,23 @@ class Trainer:
         max_steps = t.max_steps or (len(order) // t.batch_size)
         start_step = int(self.state.step)
 
-        it_times = []
-        t_last = time.time()
+        # materialize the exact per-step index sequence, then prefetch it on
+        # a thread pool (data/loader.py) so sample building overlaps the
+        # device step
+        step_indices = []
         for step in range(start_step, max_steps):
             lo = (step * t.batch_size) % max(1, len(order) - t.batch_size + 1)
-            samples = [self.dataset[int(i)] for i in order[lo : lo + t.batch_size]]
-            batch, _, labels = collate_samples(self.cfg, samples, with_labels=True)
+            step_indices.extend(int(i) for i in order[lo : lo + t.batch_size])
+        loader = PrefetchLoader(
+            self.dataset, step_indices, batch_size=t.batch_size,
+            collate_fn=lambda xs: collate_samples(self.cfg, xs, with_labels=True),
+            num_workers=max(1, t.num_workers),
+            prefetch_batches=max(1, t.prefetch_batches),
+        )
+
+        it_times = []
+        t_last = time.time()
+        for step, (batch, _, labels) in zip(range(start_step, max_steps), loader):
             if self.mesh is not None:
                 batch, labels = shard_batch(batch, labels, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch, labels)

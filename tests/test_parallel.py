@@ -57,10 +57,14 @@ def test_sharded_train_step_matches_single_device():
     new8, m8 = step8(state8, sbatch, slabels)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-2)
-    # a TP-sharded and an fsdp-sharded param must still match after update
+    # a TP-sharded and an fsdp-sharded param must still match after update.
+    # atol: with zero-init Adam moments the element update is ~ lr*sign(g)
+    # (g/(sqrt(g^2)+eps) at step 1), so elements whose bf16 grad is pure
+    # reduction-order noise can legitimately differ by up to 2*lr = 2e-3
+    # between the sharded-psum and single-device grad.
     p1 = np.asarray(new1.params["llm"]["blocks"]["wq"])
     p8 = np.asarray(jax.device_get(new8.params["llm"]["blocks"]["wq"]))
-    np.testing.assert_allclose(p1, p8, rtol=3e-2, atol=3e-4)
+    np.testing.assert_allclose(p1, p8, rtol=3e-2, atol=2.1e-3)
 
 
 def test_loss_decreases_under_training():
