@@ -1,0 +1,106 @@
+"""CLI demo: continuous-batching serving over many image+mask requests.
+
+Drives serve/engine.py (paged KV cache, slot ring, multi-step scheduling) —
+the serving mode the reference cannot express at all: its demos run one HF
+`generate` per request on a private cache (demo/gar_with_mask.py:112-122).
+Requests are admitted as slots/pages free up, decode progresses for all
+active requests together, and captions print the moment their request
+finishes (not in submission order).
+
+Usage:
+  python -m grasp_any_region_tpu.cli.gar_serve \
+      --model-path /path/to/ckpt \
+      --image a.png --mask a_mask.png --image b.png --mask b_mask.png \
+      --slots 4 --max-new-tokens 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .runtime import GARRuntime, load_image, load_mask
+from ..data.builders import RegionSample, build_region_batch
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--preset", default="gar_1b")
+    p.add_argument("--image", action="append", required=True)
+    p.add_argument("--mask", action="append", required=True)
+    p.add_argument("--instruction", default="Describe this masked region in detail.")
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--decode-chunk", type=int, default=32)
+    p.add_argument("--repeat", type=int, default=1,
+                   help="submit each image/mask pair this many times")
+    p.add_argument("--random-init", action="store_true",
+                   help="allow random weights (smoke tests)")
+    args = p.parse_args(argv)
+    if len(args.image) != len(args.mask):
+        p.error(f"--image given {len(args.image)} times but --mask {len(args.mask)}")
+
+    import numpy as np
+
+    from ..serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    rt = GARRuntime.load(args.model_path, args.preset, args.random_init)
+
+    # build each request as its own B=1 batch (per-request admission)
+    requests = []
+    for img, msk in zip(args.image, args.mask):
+        sample = RegionSample(
+            image=load_image(img), masks={1: load_mask(msk)},
+            instruction=args.instruction,
+        )
+        batch, plens = build_region_batch(rt.cfg, rt.tok, rt.proc, [sample])
+        for _ in range(args.repeat):
+            requests.append((img, batch, int(np.asarray(plens)[0])))
+
+    max_prompt = max(pl for _, _, pl in requests)
+    pages_per_slot = -(-(max_prompt + args.max_new_tokens + args.decode_chunk)
+                       // args.page_size)
+    ecfg = EngineConfig(
+        slots=args.slots,
+        page_size=args.page_size,
+        num_pages=args.slots * pages_per_slot + 1,
+        max_pages_per_slot=pages_per_slot,
+        max_new_tokens=args.max_new_tokens,
+        eot_id=rt.tok.eot_id,
+        decode_chunk=args.decode_chunk,
+    )
+    eng = ContinuousBatchingEngine(rt.params, rt.cfg, ecfg)
+    names = {}
+    for img, batch, plen in requests:
+        names[eng.submit(batch, plen)] = img
+    print(
+        f"[serve] {len(requests)} request(s), {args.slots} slots, "
+        f"{ecfg.num_pages} pages of {args.page_size} tokens",
+        file=sys.stderr,
+    )
+
+    t0 = time.time()
+    done = 0
+    while eng.has_work():
+        eng.step_chunk() if ecfg.decode_chunk > 1 else eng.step()
+        for rid, toks in sorted(eng.finished.items()):
+            ids = [t for t in toks if t != rt.tok.eot_id]
+            text = rt.tok.decode(ids, skip_special_tokens=False)
+            dt = time.time() - t0
+            done += 1
+            print(f"=== {names[rid]} (request {rid}, {len(toks)} tok, "
+                  f"t+{dt:.1f}s) ===")
+            print(text)
+        eng.finished.clear()
+    dt = time.time() - t0
+    print(
+        f"[serve] {done} caption(s) in {dt:.2f}s -> {done/dt:.2f} requests/s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
