@@ -142,6 +142,10 @@ def main():
                 "value": round(best, 4),
                 "unit": "captions/s",
                 "vs_baseline": round(best / BASELINE_CAPTIONS_PER_SEC, 3),
+                # the reference publishes no speed numbers (SURVEY.md §6);
+                # the denominator is our estimate of its A100 throughput
+                "baseline_estimated": True,
+                "baseline_captions_per_sec": BASELINE_CAPTIONS_PER_SEC,
             }
         )
     )

@@ -130,6 +130,80 @@ def _strip_prefixes(name: str) -> str:
     return name
 
 
+def convert_hf_llama(
+    text_cfg,
+    tensors: Dict[str, np.ndarray],
+    vocab_rows: Optional[int] = None,
+    already_stripped: bool = False,
+) -> Optional[dict]:
+    """Map an HF Llama(-3) decoder state dict onto our scanned-layer pytree.
+
+    Works standalone on a bare `LlamaForCausalLM.save_pretrained` dict
+    (names like `model.layers.0.self_attn.q_proj.weight`) as well as inside
+    a GAR/PLM export (names prefixed `language_model.`). Returns None when
+    no decoder weights are present. Validated against the installed
+    transformers stack in tests/test_hf_parity.py."""
+    L = text_cfg.num_layers
+    t = tensors if already_stripped else {
+        _strip_prefixes(k): v for k, v in tensors.items()
+    }
+
+    def take(name: str, transpose: bool = False) -> Optional[np.ndarray]:
+        if name not in t:
+            return None
+        x = np.asarray(t[name])
+        return x.T if transpose else x
+
+    def stack(fmt: str, n: int, transpose: bool = False) -> Optional[np.ndarray]:
+        xs = []
+        for i in range(n):
+            x = take(fmt.format(i), transpose)
+            if x is None:
+                return None
+            xs.append(x)
+        return np.stack(xs)
+
+    lm = None
+    for prefix in ("language_model.", "language_model.model.", ""):
+        if take(prefix + "embed_tokens.weight") is not None:
+            lm = prefix
+            break
+    if lm is None:
+        return None
+    embed = take(lm + "embed_tokens.weight")
+    rows = vocab_rows or embed.shape[0]
+    if embed.shape[0] < rows:
+        embed = np.concatenate(
+            [embed, np.zeros((rows - embed.shape[0], embed.shape[1]), embed.dtype)]
+        )
+    llm = {
+        "embed": embed,
+        "blocks": {
+            "attn_norm": stack(lm + "layers.{}.input_layernorm.weight", L),
+            "wq": stack(lm + "layers.{}.self_attn.q_proj.weight", L, transpose=True),
+            "wk": stack(lm + "layers.{}.self_attn.k_proj.weight", L, transpose=True),
+            "wv": stack(lm + "layers.{}.self_attn.v_proj.weight", L, transpose=True),
+            "wo": stack(lm + "layers.{}.self_attn.o_proj.weight", L, transpose=True),
+            "mlp_norm": stack(lm + "layers.{}.post_attention_layernorm.weight", L),
+            "w_gate": stack(lm + "layers.{}.mlp.gate_proj.weight", L, transpose=True),
+            "w_up": stack(lm + "layers.{}.mlp.up_proj.weight", L, transpose=True),
+            "w_down": stack(lm + "layers.{}.mlp.down_proj.weight", L, transpose=True),
+        },
+        "final_norm": take(lm + "norm.weight"),
+    }
+    head = take("lm_head.weight")
+    if head is None:
+        head = take("language_model.lm_head.weight")
+    if head is not None and not text_cfg.tie_word_embeddings:
+        h = head.T  # (D, V)
+        if h.shape[1] < rows:
+            h = np.concatenate(
+                [h, np.zeros((h.shape[0], rows - h.shape[1]), h.dtype)], axis=1
+            )
+        llm["lm_head"] = h
+    return llm
+
+
 def convert_hf_state_dict(cfg: GARConfig, tensors: Dict[str, np.ndarray]) -> dict:
     L = cfg.text.num_layers
     VL = cfg.vision.depth
@@ -213,42 +287,9 @@ def convert_hf_state_dict(cfg: GARConfig, tensors: Dict[str, np.ndarray]) -> dic
         }
 
     # --- decoder ---
-    lm = "language_model."
-    if take(lm + "embed_tokens.weight") is None and take(lm + "model.embed_tokens.weight") is not None:
-        lm = lm + "model."
-    embed = take(lm + "embed_tokens.weight")
-    if embed is not None:
-        rows = cfg.padded_vocab_size
-        if embed.shape[0] < rows:
-            embed = np.concatenate(
-                [embed, np.zeros((rows - embed.shape[0], embed.shape[1]), embed.dtype)]
-            )
-        llm = {
-            "embed": embed,
-            "blocks": {
-                "attn_norm": stack(lm + "layers.{}.input_layernorm.weight", L),
-                "wq": stack(lm + "layers.{}.self_attn.q_proj.weight", L, transpose=True),
-                "wk": stack(lm + "layers.{}.self_attn.k_proj.weight", L, transpose=True),
-                "wv": stack(lm + "layers.{}.self_attn.v_proj.weight", L, transpose=True),
-                "wo": stack(lm + "layers.{}.self_attn.o_proj.weight", L, transpose=True),
-                "mlp_norm": stack(lm + "layers.{}.post_attention_layernorm.weight", L),
-                "w_gate": stack(lm + "layers.{}.mlp.gate_proj.weight", L, transpose=True),
-                "w_up": stack(lm + "layers.{}.mlp.up_proj.weight", L, transpose=True),
-                "w_down": stack(lm + "layers.{}.mlp.down_proj.weight", L, transpose=True),
-            },
-            "final_norm": take(lm + "norm.weight"),
-        }
-        head = take("lm_head.weight")
-        if head is None:
-            head = take("language_model.lm_head.weight")
-        if head is not None and not cfg.text.tie_word_embeddings:
-            h = head.T  # (D, V)
-            rows = cfg.padded_vocab_size
-            if h.shape[1] < rows:
-                h = np.concatenate(
-                    [h, np.zeros((h.shape[0], rows - h.shape[1]), h.dtype)], axis=1
-                )
-            llm["lm_head"] = h
+    llm = convert_hf_llama(cfg.text, t, vocab_rows=cfg.padded_vocab_size,
+                           already_stripped=True)
+    if llm is not None:
         params["llm"] = llm
 
     # --- mask patch embedding (GAR-specific, zero-init at train start) ---

@@ -173,18 +173,14 @@ def llama_decode_step(
 
     def attend(q, k_all, v_all, l):
         # NOTE: the layer slab is dynamic-sliced out of the stacked cache.
-        # Passing the full stacked cache into the kernel (index_map on a
+        # Passing the full stacked cache into a Pallas kernel (index_map on a
         # scalar-prefetch layer id) was tried and is 2x SLOWER: the kernel
         # read forces XLA to defensively copy the whole cache around the
         # in-place dynamic_update_slice. The slice costs one 2*B*K*S*D read+
         # write per layer; see bench notes in ops/decode_attention.py.
-        if use_kernel:
-            from ..ops.decode_attention import decode_attention
-
-            return decode_attention(
-                q, k_all[l], v_all[l],
-                prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
-            )
+        # (use_kernel=True routes through llama_decode_step_fused above; this
+        # sliced path is the XLA reference — the standalone decode_attention
+        # Pallas kernel stays covered by tests/test_kernels.py.)
         return decode_attention_reference(
             q, k_all[l], v_all[l],
             prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,

@@ -92,18 +92,39 @@ class Trainer:
 
     def train(self):
         t = self.tcfg
-        rng = np.random.default_rng(t.seed)
-        order = self._epoch_indices(rng)
-        max_steps = t.max_steps or (len(order) // t.batch_size)
+        n_items = len(self.dataset)
+        steps_per_epoch = max(1, n_items // t.batch_size)
+        max_steps = t.max_steps or steps_per_epoch
         start_step = int(self.state.step)
+
+        # Whole-epoch partition (fixes the round-1 overlapping-window bug):
+        # each epoch draws a fresh deterministic permutation keyed by
+        # (seed, epoch) — resume past an epoch boundary reshuffles instead of
+        # re-sampling a stale window (reference: DistSamplerSeedHook,
+        # configs/gar_1b.py:186). Tail items (n % batch) are dropped, the
+        # standard drop_last partition.
+        order_cache: dict[int, np.ndarray] = {}
+
+        def order_for(epoch: int) -> np.ndarray:
+            if epoch not in order_cache:
+                order_cache.clear()  # only the current epoch is ever needed
+                order_cache[epoch] = self._epoch_indices(
+                    np.random.default_rng([t.seed, epoch])
+                )
+            return order_cache[epoch]
 
         # materialize the exact per-step index sequence, then prefetch it on
         # a thread pool (data/loader.py) so sample building overlaps the
         # device step
         step_indices = []
         for step in range(start_step, max_steps):
-            lo = (step * t.batch_size) % max(1, len(order) - t.batch_size + 1)
-            step_indices.extend(int(i) for i in order[lo : lo + t.batch_size])
+            epoch, pos = divmod(step, steps_per_epoch)
+            order = order_for(epoch)
+            lo = pos * t.batch_size
+            # modulo only bites in the degenerate n_items < batch_size case
+            step_indices.extend(
+                int(order[(lo + k) % len(order)]) for k in range(t.batch_size)
+            )
         loader = PrefetchLoader(
             self.dataset, step_indices, batch_size=t.batch_size,
             collate_fn=lambda xs: collate_samples(self.cfg, xs, with_labels=True),

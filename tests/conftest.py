@@ -10,9 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "--xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # in-process CPU collectives rendezvous slowly on small hosts; keep the
+    # stuck-detector's hard abort well above worst-case
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
