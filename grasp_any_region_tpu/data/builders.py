@@ -134,12 +134,15 @@ def collate_samples(
     max_regions: Optional[int] = None,
     seq_bucket: int = SEQ_BUCKET,
     with_labels: bool = False,
+    seq_multiple: int = 1,
 ) -> Tuple[GARBatch, jnp.ndarray, Optional[jnp.ndarray]]:
     """Pad per-sample arrays to the batch's static shapes.
 
     Returns (GARBatch, prompt_lens, labels or None). Right padding throughout
-    (mirrors custom_collect_fn.py:67-87; sequence bucketing replaces its
-    sequence-parallel pad, :89-94).
+    (mirrors custom_collect_fn.py:67-87). seq_multiple: additionally pad S to
+    a multiple of the sequence-parallel world size (the reference's
+    pad_for_sequence_parallel, custom_collect_fn.py:89-94) — required for the
+    Ulysses/ring seq-axis exchange.
     """
     b = len(samples)
     r_max = max_regions or cfg.prompt_numbers
@@ -147,6 +150,8 @@ def collate_samples(
                    max(s["pixel_values"].shape[0] for s in samples))
     s_max = max(len(s["input_ids"]) for s in samples)
     s_pad = ((s_max + seq_bucket - 1) // seq_bucket) * seq_bucket
+    if seq_multiple > 1 and s_pad % seq_multiple:
+        s_pad += seq_multiple - s_pad % seq_multiple
     ts = cfg.tile_size
 
     input_ids = np.full((b, s_pad), pad_id, np.int32)

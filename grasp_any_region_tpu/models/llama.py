@@ -111,27 +111,70 @@ def llama_prefill(
     remat: bool = False,
     use_flash: Optional[bool] = None,
     right_padded: bool = True,
+    mesh=None,  # jax.sharding.Mesh; seq>1 activates sequence parallelism
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Full-sequence forward. Returns (hidden (B,S,D), (k_all, v_all)) where
     k_all/v_all are (L, B, S, K, Dh) for cache seeding.
 
     right_padded: the GAR data path right-pads (collate mirrors
     custom_collect_fn.py:67-87), so the Pallas flash kernel is exact without
-    segment support; pass False for packed multi-document batches."""
+    segment support; pass False for packed multi-document batches.
+
+    mesh: when the active mesh has a 'seq' axis > 1, attention runs
+    sequence-parallel — Ulysses head/seq all-to-all (parallel/ulysses.py)
+    when the head counts divide the axis, ring attention otherwise (the
+    reference's xtuner SP hooks are Ulysses-only and dormant,
+    custom_collect_fn.py:89-94). Activations between blocks are constrained
+    to seq sharding so qkv/MLP matmuls stay local to each shard."""
+    sp = mesh is not None and mesh.shape.get("seq", 1) > 1
     inv = llama_inv_freq(cfg)
     cos, sin = rope_cos_sin(positions, inv)  # (B, S, Dh)
     eps = cfg.rms_norm_eps
     lora_scaling = params.get("lora_scaling")
 
+    if sp:
+        from ..parallel.ring import ring_attention
+        from ..parallel.sharding import constrain_seq
+        from ..parallel.ulysses import ulysses_attention
+
+        p = mesh.shape["seq"]
+        assert inputs_embeds.shape[1] % p == 0, (
+            f"seq len {inputs_embeds.shape[1]} must divide the seq axis {p} "
+            "(collate_samples pads to seq_multiple)"
+        )
+        ulysses_ok = cfg.num_heads % p == 0 and cfg.num_kv_heads % p == 0
+        if not ulysses_ok:
+            # ring path is causal-only: packed rows need the segment mask
+            assert right_padded or segment_ids is None, (
+                "ring attention (kv_heads < seq axis) supports right-padded "
+                "causal batches only"
+            )
+        inputs_embeds = constrain_seq(inputs_embeds, mesh)
+
+    def attend(q, k, v):
+        if not sp:
+            return mha(q, k, v, causal=True, segment_ids=segment_ids,
+                       use_flash=use_flash, right_padded=right_padded)
+        batch_axes = ("data", "fsdp")
+        if ulysses_ok:
+            return ulysses_attention(
+                q, k, v, mesh, causal=True,
+                segment_ids=None if right_padded else segment_ids,
+                use_flash=use_flash, right_padded=right_padded,
+                batch_axes=batch_axes,
+            )
+        return ring_attention(q, k, v, mesh, causal=True, batch_axes=batch_axes)
+
     def body(x, bp):
         y = rms_norm(x, bp["attn_norm"], eps)
         q, k, v = _qkv(cfg, bp, y, cos, sin, lora_scaling)
-        a = mha(q, k, v, causal=True, segment_ids=segment_ids,
-                use_flash=use_flash, right_padded=right_padded)
+        a = attend(q, k, v)
         a = _proj(bp, "wo", a.reshape(x.shape[0], x.shape[1], -1), lora_scaling)
         x = x + a
         y = rms_norm(x, bp["mlp_norm"], eps)
         x = x + _mlp(bp, y, lora_scaling)
+        if sp:
+            x = constrain_seq(x, mesh)
         return x, (k, v)
 
     body_fn = jax.checkpoint(body) if remat else body

@@ -43,13 +43,14 @@ def ring_attention(
     causal: bool = True,
     scale: Optional[float] = None,
     axis: str = "seq",
+    batch_axes=None,  # mesh axes the batch dim shards over (e.g. ("data","fsdp"))
 ) -> jnp.ndarray:
     """Context-parallel attention; returns output sharded like q.
 
     Unlike ulysses_attention there is no head-count constraint — any H/K
     works on any ring size (GQA kv heads are repeated locally per block).
     """
-    b, s_global, h, d = q.shape
+    s_global, h, d = q.shape[1], q.shape[2], q.shape[3]
     kh = k.shape[2]
     assert h % kh == 0, f"q heads {h} not a multiple of kv heads {kh}"
     g = h // kh
@@ -60,6 +61,7 @@ def ring_attention(
         scale = d ** -0.5
 
     def inner(q, k, v):
+        b = q.shape[0]  # LOCAL batch (dp-sharded when batch_axes is set)
         idx = jax.lax.axis_index(axis)
         qf = q.astype(jnp.float32) * scale
         q_pos = idx * s_local + jnp.arange(s_local)  # global q positions
@@ -102,13 +104,13 @@ def ring_attention(
         out = acc / jnp.maximum(l, 1e-30)
         return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axes, axis, None, None)
     fn = shard_map(
         inner, mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v)

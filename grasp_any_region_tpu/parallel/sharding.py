@@ -139,8 +139,9 @@ def batch_pspecs(batch_tree: Any) -> Any:
     return jax.tree_util.tree_map(spec, batch_tree)
 
 
-def constrain_seq(x, mesh_active: bool = True):
+def constrain_seq(x, mesh: Mesh = None):
     """Shard the sequence axis of (B, S, D) activations over 'seq'."""
-    if not mesh_active:
+    if mesh is None:
         return x
-    return jax.lax.with_sharding_constraint(x, P(("data", "fsdp"), "seq", None))
+    sharding = NamedSharding(mesh, P(("data", "fsdp"), "seq", None))
+    return jax.lax.with_sharding_constraint(x, sharding)

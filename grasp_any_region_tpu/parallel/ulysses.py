@@ -26,11 +26,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.attention import mha
 
 
-def _attn_local(q, k, v, *, causal, use_flash, right_padded):
-    return mha(q, k, v, causal=causal, use_flash=use_flash,
-               right_padded=right_padded)
-
-
 def ulysses_attention(
     q: jnp.ndarray,  # (B, S/P, H, D) — sequence-sharded over 'seq'
     k: jnp.ndarray,  # (B, S/P, K, D)
@@ -38,12 +33,20 @@ def ulysses_attention(
     mesh: Mesh,
     *,
     causal: bool = True,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) packing mask
     use_flash: Optional[bool] = None,
     right_padded: bool = True,
     axis: str = "seq",
+    batch_axes=None,  # mesh axes the batch dim shards over (e.g. ("data","fsdp"))
 ) -> jnp.ndarray:
     """Sequence-parallel attention. Call under shard_map-compatible sharded
-    inputs; returns output sharded like q."""
+    inputs; returns output sharded like q.
+
+    batch_axes: in the train step the batch axis is dp-sharded; declaring it
+    here keeps shard_map from all-gathering the batch (each dp group runs its
+    own independent Ulysses exchange over its 'seq' neighbours).
+    segment_ids supports packed rows: shards are re-gathered to the full
+    (B, S) ids inside the exchange (ints — negligible traffic)."""
     h = q.shape[2]
     kh = k.shape[2]
     p = mesh.shape[axis]
@@ -51,7 +54,7 @@ def ulysses_attention(
         f"heads ({h} q / {kh} kv) must divide seq-axis size {p}"
     )
 
-    def inner(q, k, v):
+    def inner(q, k, v, seg):
         # all_to_all: split head axis, gather sequence axis
         # in: (B, S/P, H, D) -> out: (B, S, H/P, D)
         def seq2head(x):
@@ -67,19 +70,31 @@ def ulysses_attention(
         qh = seq2head(q)
         khh = seq2head(k)
         vh = seq2head(v)
-        out = _attn_local(
-            qh, khh, vh, causal=causal, use_flash=use_flash,
-            right_padded=right_padded,
+        seg_full = None
+        if seg is not None:
+            seg_full = jax.lax.all_gather(seg, axis, axis=1, tiled=True)
+        out = mha(
+            qh, khh, vh, causal=causal, segment_ids=seg_full,
+            use_flash=use_flash, right_padded=right_padded,
         )
         return head2seq(out)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axes, axis, None, None)
+    seg_spec = P(batch_axes, axis)
+    if segment_ids is None:
+        fn = shard_map(
+            lambda q, k, v: inner(q, k, v, None), mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+        return fn(q, k, v)
     fn = shard_map(
         inner, mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, seg_spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, segment_ids)

@@ -45,6 +45,7 @@ def loss_fn(
     *,
     mask_compat: bool = True,
     use_flash: Optional[bool] = None,
+    mesh: Optional[Mesh] = None,
 ) -> jnp.ndarray:
     embeds = build_prefill_embeds(
         params, cfg, batch, mask_compat=mask_compat, remat=True,
@@ -53,6 +54,7 @@ def loss_fn(
     hidden, _ = llama_prefill(
         params["llm"], cfg.text, embeds, batch.positions,
         segment_ids=batch.segment_ids, remat=True, use_flash=use_flash,
+        mesh=mesh,
     )
     return chunked_cross_entropy(
         params["llm"], cfg.text, hidden, shift_labels(labels),
@@ -66,6 +68,7 @@ def packed_loss_fn(
     packed,  # data.builders.PackedTextBatch
     *,
     use_flash: Optional[bool] = None,
+    mesh: Optional[Mesh] = None,
 ) -> jnp.ndarray:
     """Loss over packed text-only rows (many documents per row, block-diagonal
     segment mask; the reference's varlen path, custom_collect_fn.py:96-106).
@@ -76,7 +79,7 @@ def packed_loss_fn(
     hidden, _ = llama_prefill(
         params["llm"], cfg.text, embeds, packed.positions,
         segment_ids=packed.segment_ids, remat=True, use_flash=use_flash,
-        right_padded=False,
+        right_padded=False, mesh=mesh,
     )
     return chunked_cross_entropy(
         params["llm"], cfg.text, hidden, shift_labels(packed.labels),
@@ -90,6 +93,7 @@ def make_packed_train_step(
     *,
     use_flash: Optional[bool] = None,
     donate: bool = True,
+    mesh: Optional[Mesh] = None,
 ):
     """Train step over PackedTextBatch rows. Pair with a frozen-vision
     optimizer regime (train/optimizer.py) — the packed path never touches
@@ -97,7 +101,8 @@ def make_packed_train_step(
 
     def step_fn(state: TrainState, packed):
         loss, grads = jax.value_and_grad(
-            lambda p: packed_loss_fn(p, cfg, packed, use_flash=use_flash)
+            lambda p: packed_loss_fn(p, cfg, packed, use_flash=use_flash,
+                                     mesh=mesh)
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -143,11 +148,16 @@ def make_train_step(
     mask_compat: bool = True,
     use_flash: Optional[bool] = None,
     donate: bool = True,
+    mesh: Optional[Mesh] = None,
 ):
+    """mesh: pass the active Mesh to enable sequence parallelism when its
+    'seq' axis > 1 (threaded into llama_prefill's Ulysses/ring dispatch)."""
+
     def step_fn(state: TrainState, batch: GARBatch, labels: jnp.ndarray):
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(
-                p, cfg, batch, labels, mask_compat=mask_compat, use_flash=use_flash
+                p, cfg, batch, labels, mask_compat=mask_compat,
+                use_flash=use_flash, mesh=mesh,
             )
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -73,7 +73,10 @@ class Trainer:
                     "(the batch axis shards over both)"
                 )
         self.state, self.tx = init_sharded_state(params, opt_cfg, mesh=self.mesh)
-        self.step_fn = make_train_step(cfg, self.tx)
+        self.step_fn = make_train_step(cfg, self.tx, mesh=self.mesh)
+        # sequence parallelism: collate pads S to a multiple of the seq axis
+        # (the reference's pad_for_sequence_parallel, custom_collect_fn.py:89-94)
+        self.seq_multiple = tcfg.mesh.seq if tcfg.mesh else 1
         self.ckpt = CheckpointManager(
             tcfg.work_dir,
             save_interval=tcfg.save_interval,
@@ -127,7 +130,9 @@ class Trainer:
             )
         loader = PrefetchLoader(
             self.dataset, step_indices, batch_size=t.batch_size,
-            collate_fn=lambda xs: collate_samples(self.cfg, xs, with_labels=True),
+            collate_fn=lambda xs: collate_samples(
+                self.cfg, xs, with_labels=True, seq_multiple=self.seq_multiple
+            ),
             num_workers=max(1, t.num_workers),
             prefetch_batches=max(1, t.prefetch_batches),
         )

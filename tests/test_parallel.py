@@ -67,6 +67,57 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(p1, p8, rtol=3e-2, atol=2.1e-3)
 
 
+def test_sp_train_step_matches_single_device():
+    """Sequence-parallel (Ulysses) train step on a (1,2,2,2) mesh must agree
+    with the single-device result — SP is wired into llama_prefill via
+    make_train_step(mesh=...), not just a standalone primitive."""
+    params = init_gar_params(jax.random.PRNGKey(0), CFG)
+    opt_cfg = OptimizerConfig(lr=1e-3, total_steps=10, accumulation=1)
+    # seq len 1078 is even (divides seq=2); assert so a synthetic_batch
+    # change doesn't silently turn this into a shape error
+    batch, labels, _ = synthetic_batch(CFG, batch=2, grid=(2, 1), regions=1, seed=3)
+    assert batch.input_ids.shape[1] % 2 == 0
+
+    state1, tx1 = init_sharded_state(params, opt_cfg, mesh=None)
+    step1 = make_train_step(CFG, tx1, mask_compat=False, use_flash=False, donate=False)
+    new1, m1 = step1(state1, batch, labels)
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=2, tensor=2, seq=2))
+    state8, tx8 = init_sharded_state(params, opt_cfg, mesh=mesh)
+    sbatch, slabels = shard_batch(batch, labels, mesh)
+    step8 = make_train_step(CFG, tx8, mask_compat=False, use_flash=False,
+                            donate=False, mesh=mesh)
+    new8, m8 = step8(state8, sbatch, slabels)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-2)
+    p1 = np.asarray(new1.params["llm"]["blocks"]["wq"])
+    p8 = np.asarray(jax.device_get(new8.params["llm"]["blocks"]["wq"]))
+    np.testing.assert_allclose(p1, p8, rtol=3e-2, atol=2.1e-3)
+
+
+def test_sp_ring_fallback_loss_matches():
+    """seq axis (4) larger than the kv head count (2) must fall back to ring
+    attention and still produce the single-device loss."""
+    params = init_gar_params(jax.random.PRNGKey(0), CFG)
+    opt_cfg = OptimizerConfig(lr=1e-3, total_steps=10, accumulation=1)
+    batch, labels, _ = synthetic_batch(
+        CFG, batch=2, grid=(2, 1), regions=1, seed=4, seq_pad_to=1080
+    )
+
+    state1, tx1 = init_sharded_state(params, opt_cfg, mesh=None)
+    step1 = make_train_step(CFG, tx1, mask_compat=False, use_flash=False, donate=False)
+    _, m1 = step1(state1, batch, labels)
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=2, tensor=1, seq=4))
+    state8, tx8 = init_sharded_state(params, opt_cfg, mesh=mesh)
+    sbatch, slabels = shard_batch(batch, labels, mesh)
+    step8 = make_train_step(CFG, tx8, mask_compat=False, use_flash=False,
+                            donate=False, mesh=mesh)
+    _, m8 = step8(state8, sbatch, slabels)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-2)
+
+
 def test_loss_decreases_under_training():
     params = init_gar_params(jax.random.PRNGKey(0), CFG)
     opt_cfg = OptimizerConfig(lr=5e-3, total_steps=20, warmup_ratio=0.0, accumulation=1)
