@@ -77,7 +77,7 @@ def run_config(batch_size: int, iters: int = 3, quantize: bool = False):
     return caps
 
 
-def run_serving(n_requests: int = 6, slots: int = 4, new_tokens: int = 64):
+def run_serving(n_requests: int = 8, slots: int = 8, new_tokens: int = 64):
     """Informational: continuous-batching engine (paged KV, serve/engine.py).
 
     Unlike the static-batch configs above, requests are admitted into a slot

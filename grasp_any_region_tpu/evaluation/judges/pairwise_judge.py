@@ -73,11 +73,22 @@ def review_pairs(
                 img = np.asarray(
                     Image.open(os.path.join(image_folder, tri["image_path"])).convert("RGB")
                 )
+                # MDVP set-of-marks: darken + numbered box/point markup so
+                # the judge can ground "region N" (eval_gpt.py:125-137)
+                if tri.get("annotation"):
+                    from .paint import paint_annotation
+
+                    img = paint_annotation(img, tri["annotation"])
                 content.append(image_content(img))
+            role = rule.get("role", "Assistant")
+            context = (
+                f"[Context]\n{tri['context']}\n\n" if tri.get("context") else ""
+            )
             prompt = (
+                f"{context}"
                 f"[Question]\n{tri['question']}\n\n"
-                f"[Assistant 1]\n{tri['answer']}\n\n[End of Assistant 1]\n\n"
-                f"[Assistant 2]\n{tri['prediction']}\n\n[End of Assistant 2]\n\n"
+                f"[{role} 1]\n{tri['answer']}\n\n[End of {role} 1]\n\n"
+                f"[{role} 2]\n{tri['prediction']}\n\n[End of {role} 2]\n\n"
                 f"[System]\n{rule['prompt']}\n\n"
             )
             content.append({"type": "text", "text": prompt})

@@ -45,6 +45,10 @@ def run_mdvp(
             "dataset_name": it.get("dataset_name"),
             "caption": out.replace("<|eot_id|>", "").strip(),
             "gt": it["caption"],
+            # pass region geometry through for the judge's set-of-marks
+            # markup ({"bbox": [[x,y,w,h],...]} or {"points": [[x,y],...]},
+            # MDVP eval_gpt.py:125-135)
+            "annotation": it.get("annotation"),
         }
         for it, out in zip(items, outputs)
     ]
@@ -52,8 +56,30 @@ def run_mdvp(
     return results
 
 
+# judge [Context] strings per domain (MDVP eval_gpt.py:75-85)
+DOMAIN_CONTEXT = {
+    "natural": "The image is a natural image.",
+    "ocr": "The image contains text, and the user wishes to know the content of the text.",
+    "screen": "The image is a screenshot from a mobile phone or webpage.",
+    "panel": "The image is a multi-panel figure.",
+    "android": "The image is an andriod screenshot.",
+    "web": "The image is a webpage screenshot.",
+}
+
+
+def context_for(dataset_name: Optional[str]) -> Optional[str]:
+    if not dataset_name:
+        return None
+    name = dataset_name.lower()
+    for key, ctx in DOMAIN_CONTEXT.items():
+        if key in name:
+            return ctx
+    return None
+
+
 def transfer(results: List[dict], question: str = "Describe this masked region in detail.") -> List[dict]:
-    """Prediction file -> judge triplets (MDVP-Bench/transfer.py)."""
+    """Prediction file -> judge triplets (MDVP-Bench/transfer.py), carrying
+    the region annotation (for image markup) and domain context."""
     return [
         {
             "image_path": r["image_path"],
@@ -61,6 +87,8 @@ def transfer(results: List[dict], question: str = "Describe this masked region i
             "question": question,
             "answer": r["gt"],
             "prediction": r["caption"],
+            "annotation": r.get("annotation"),
+            "context": context_for(r.get("dataset_name")),
         }
         for r in results
     ]

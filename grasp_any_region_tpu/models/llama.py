@@ -406,6 +406,106 @@ def llama_decode_step_paged(
     return x, k_pool, v_pool
 
 
+def llama_decode_step_paged_fused(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, 1, D) — B = engine slots
+    k_pool: jnp.ndarray,  # (L, K, N, PS, Dh) page pools
+    v_pool: jnp.ndarray,
+    block_table: jnp.ndarray,  # (B, MP) int32
+    seq_lens: jnp.ndarray,     # (B,) int32 cached tokens per slot (pre-step)
+    active: jnp.ndarray,       # (B,) bool
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Paged decode step with layer-indexed weight streaming (+ optional int8).
+
+    Same contract as llama_decode_step_paged, but every weight matrix streams
+    from HBM exactly once per step via the scalar-prefetch kernels in
+    ops/layer_matmul.py (the round-1 paged step used plain XLA matmuls on
+    static per-layer slices — ~3.9x the weight traffic, docs/PERF_NOTES.md
+    addendum 2). The layer loop stays a static Python unroll so pool
+    scatter/gather touches only live pages; attention remains the XLA gather
+    path (page reads fuse into the einsum).
+
+    Activations are row-padded to >= 8 so the Pallas matmul blocks hit full
+    sublanes even at small slot counts; pads are sliced off for attention
+    and pool writes.
+    """
+    from ..ops.layer_matmul import (
+        layer_matmul,
+        layer_matmul_q8,
+        layer_qkv,
+        layer_qkv_q8,
+        layer_swiglu,
+        layer_swiglu_q8,
+    )
+    from ..ops.paged_attention import paged_attention_reference
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    blocks = params["blocks"]
+    q8 = "wq_q8" in blocks  # int8 decode weights present (models/quantize.py)
+    b = inputs_embeds.shape[0]
+    h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ps = k_pool.shape[3]
+    inv = llama_inv_freq(cfg)
+    cos, sin = rope_cos_sin(seq_lens[:, None], inv)  # new token position
+    eps = cfg.rms_norm_eps
+    rows = jnp.arange(b)
+    pid = jnp.where(active, block_table[rows, seq_lens // ps], 0)
+    off = jnp.where(active, seq_lens % ps, 0)
+    post_lens = seq_lens + 1  # attention covers the token being written
+
+    bp = max(b, 8)
+    x = inputs_embeds[:, 0]  # (B, D)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+
+    def pad_rows(t):
+        return t if bp == b else jnp.pad(t, ((0, bp - b), (0, 0)))
+
+    for l in range(cfg.num_layers):
+        li = jnp.asarray(l, jnp.int32)
+        y = rms_norm(x, blocks["attn_norm"][l], eps)  # (Bp, D)
+        if q8:
+            qf, kf, vf = layer_qkv_q8(
+                y, blocks["wq_q8"], blocks["wq_scale"],
+                blocks["wk_q8"], blocks["wk_scale"],
+                blocks["wv_q8"], blocks["wv_scale"], li, interpret=interpret)
+        else:
+            qf, kf, vf = layer_qkv(
+                y, blocks["wq"], blocks["wk"], blocks["wv"], li,
+                interpret=interpret)
+        q = apply_rope(qf[:b].reshape(b, 1, h, dh), cos, sin)[:, 0]  # (B,H,Dh)
+        k = apply_rope(kf[:b].reshape(b, 1, kh, dh), cos, sin)[:, 0]
+        v = vf[:b].reshape(b, kh, dh)
+        # integer l + slice + advanced (pid, off): advanced (B,) dims move to
+        # the FRONT -> the indexed target is (B, K, Dh)
+        k_pool = k_pool.at[l, :, pid, off].set(k.astype(k_pool.dtype))
+        v_pool = v_pool.at[l, :, pid, off].set(v.astype(v_pool.dtype))
+        a = paged_attention_reference(q, k_pool[l], v_pool[l],
+                                      block_table, post_lens)  # (B, H, Dh)
+        ap = pad_rows(a.reshape(b, h * dh))
+        if q8:
+            x = x + layer_matmul_q8(
+                ap, blocks["wo_q8"], blocks["wo_scale"], li, interpret=interpret)
+            y = rms_norm(x, blocks["mlp_norm"][l], eps)
+            act = layer_swiglu_q8(
+                y, blocks["w_gate_q8"], blocks["w_gate_scale"],
+                blocks["w_up_q8"], blocks["w_up_scale"], li, interpret=interpret)
+            x = x + layer_matmul_q8(
+                act, blocks["w_down_q8"], blocks["w_down_scale"], li,
+                interpret=interpret)
+        else:
+            x = x + layer_matmul(ap, blocks["wo"], li, interpret=interpret)
+            y = rms_norm(x, blocks["mlp_norm"][l], eps)
+            act = layer_swiglu(y, blocks["w_gate"], blocks["w_up"], li,
+                               interpret=interpret)
+            x = x + layer_matmul(act, blocks["w_down"], li, interpret=interpret)
+    return x[:b][:, None], k_pool, v_pool
+
+
 def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return params["embed"].astype(dtype)[input_ids]
 

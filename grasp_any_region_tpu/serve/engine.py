@@ -34,7 +34,12 @@ import jax.numpy as jnp
 
 from ..core.config import EOT_TOKEN_ID, GARConfig
 from ..models.gar import GARBatch, gar_prefill
-from ..models.llama import embed_tokens, llama_decode_step_paged, lm_logits
+from ..models.llama import (
+    embed_tokens,
+    llama_decode_step_paged,
+    llama_decode_step_paged_fused,
+    lm_logits,
+)
 from .paged_cache import PageAllocator, init_paged_kv, pages_needed, write_prompt_pages
 
 
@@ -48,6 +53,10 @@ class EngineConfig:
     eot_id: int = EOT_TOKEN_ID
     pad_id: int = 0
     use_kernel: bool = False      # Pallas paged-attention kernel
+    # layer-indexed weight-streaming decode step (+ int8 when quantized
+    # weights are present); None = auto (on for TPU). The round-1 XLA
+    # matmul step re-read weights ~3.9x per token (PERF_NOTES addendum 2).
+    use_fused: Optional[bool] = None
     mask_compat: bool = True
     double_scale_compat: bool = True
     # decode this many tokens per device call (multi-step scheduling):
@@ -112,12 +121,27 @@ class ContinuousBatchingEngine:
         self._prefill_fn = _prefill
         self._seed_fn = jax.jit(write_prompt_pages, donate_argnums=(0, 1))
 
+        use_fused = ecfg.use_fused
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+
+        def _paged_step(params_llm, embeds, kq, vq, block_table, sl, active):
+            if use_fused:
+                return llama_decode_step_paged_fused(
+                    params_llm, cfg.text, embeds, kq, vq,
+                    block_table, sl, active,
+                )
+            return llama_decode_step_paged(
+                params_llm, cfg.text, embeds, kq, vq,
+                block_table, sl, active, use_kernel=ecfg.use_kernel,
+            )
+
         @partial(jax.jit, donate_argnums=(1, 2), static_argnames=())
         def _decode(params, k_pool, v_pool, cur, block_table, seq_lens, active):
             embeds = embed_tokens(params["llm"], cur[:, None], dtype)
-            hidden, k_pool, v_pool = llama_decode_step_paged(
-                params["llm"], cfg.text, embeds, k_pool, v_pool,
-                block_table, seq_lens, active, use_kernel=ecfg.use_kernel,
+            hidden, k_pool, v_pool = _paged_step(
+                params["llm"], embeds, k_pool, v_pool,
+                block_table, seq_lens, active,
             )
             logits = lm_logits(
                 params["llm"], cfg.text, hidden[:, 0],
@@ -133,9 +157,8 @@ class ContinuousBatchingEngine:
             def body(carry, _):
                 cur, sl, kq, vq = carry
                 embeds = embed_tokens(params["llm"], cur[:, None], dtype)
-                hidden, kq, vq = llama_decode_step_paged(
-                    params["llm"], cfg.text, embeds, kq, vq,
-                    block_table, sl, active, use_kernel=ecfg.use_kernel,
+                hidden, kq, vq = _paged_step(
+                    params["llm"], embeds, kq, vq, block_table, sl, active,
                 )
                 logits = lm_logits(
                     params["llm"], cfg.text, hidden[:, 0],
@@ -188,33 +211,67 @@ class ContinuousBatchingEngine:
         return n
 
     def _admit(self) -> None:
+        """Admit as many queued requests as slots/pages allow.
+
+        Same-shape requests at the queue head prefill TOGETHER in one
+        batched gar_prefill call — admission gets the same batching
+        economics as the static path instead of stalling all active slots
+        once per request (round-1 weakness: serial per-request prefill)."""
         while self.queue:
-            rid, batch, plen = self.queue[0]
-            need = self._budget_pages(plen)
             free_slots = [i for i in range(self.ecfg.slots) if not self.active[i]]
-            if not free_slots or self.allocator.free_pages < need:
+            group: List[Tuple[int, GARBatch, int, List[int]]] = []
+            budget = self.allocator.free_pages
+            shape0 = None
+            for rid, batch, plen in self.queue:
+                if len(group) >= len(free_slots):
+                    break
+                need = self._budget_pages(plen)
+                if budget < need:
+                    break
+                sh = (batch.input_ids.shape[1], batch.pixel_values.shape[1])
+                if shape0 is None:
+                    shape0 = sh
+                elif sh != shape0:
+                    break  # shape bucket boundary; next _admit picks it up
+                group.append((rid, batch, plen, self.allocator.alloc(need)))
+                budget -= need
+            if not group:
                 return
-            self.queue.popleft()
-            slot = free_slots[0]
-            pages = self.allocator.alloc(need)
+            for _ in group:
+                self.queue.popleft()
             mp = self.ecfg.max_pages_per_slot
 
-            tok0, kv = self._prefill_fn(self.params, self.cfg, batch, plen)
-            ks, vs = kv  # (L, 1, S, K, D)
-            page_vec = np.zeros(mp, np.int32)
-            page_vec[: len(pages)] = pages
-            self.k_pool, self.v_pool = self._seed_fn(
-                self.k_pool, self.v_pool, ks[:, 0], vs[:, 0],
-                jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
-            )
-            tok0 = int(np.asarray(tok0)[0])
-            self.block_table[slot] = page_vec
-            self.seq_lens[slot] = plen
-            self.cur[slot] = tok0
-            self.slots[slot] = _SlotState(request_id=rid, pages=pages, tokens=[tok0])
-            self.active[slot] = True
-            if tok0 == self.ecfg.eot_id or self.ecfg.max_new_tokens == 1:
-                self._retire(slot)
+            if len(group) == 1:
+                bb = group[0][1]
+            else:
+                bb = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0)
+                    if xs[0] is not None else None,
+                    *[g[1] for g in group],
+                    is_leaf=lambda x: x is None,
+                )
+            plens = jnp.asarray([g[2] for g in group], jnp.int32)
+            tok0s, kv = self._prefill_fn(self.params, self.cfg, bb, plens)
+            ks, vs = kv  # (L, G, S, K, D)
+            tok0s = np.asarray(tok0s)
+            for i, (rid, _, plen, pages) in enumerate(group):
+                slot = free_slots[i]
+                page_vec = np.zeros(mp, np.int32)
+                page_vec[: len(pages)] = pages
+                self.k_pool, self.v_pool = self._seed_fn(
+                    self.k_pool, self.v_pool, ks[:, i], vs[:, i],
+                    jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
+                )
+                tok0 = int(tok0s[i])
+                self.block_table[slot] = page_vec
+                self.seq_lens[slot] = plen
+                self.cur[slot] = tok0
+                self.slots[slot] = _SlotState(
+                    request_id=rid, pages=pages, tokens=[tok0]
+                )
+                self.active[slot] = True
+                if tok0 == self.ecfg.eot_id or self.ecfg.max_new_tokens == 1:
+                    self._retire(slot)
 
     def _retire(self, slot: int) -> None:
         st = self.slots[slot]

@@ -116,3 +116,55 @@ def test_coco_reader(tmp_path):
     assert coco.get_ann_ids(1) == [7, 8]
     assert coco.get_ann_ids(1, area_max=100) == [7]
     np.testing.assert_array_equal(coco.ann_to_mask(7), m)
+
+
+def test_paint_text_box_geometry():
+    """Numbered-box markup: darkening, green rectangle, label pixels
+    (MDVP paint_util.py:78 semantics)."""
+    import numpy as np
+    from grasp_any_region_tpu.evaluation.judges.paint import (
+        paint_annotation,
+        paint_text_box,
+        paint_text_point,
+    )
+
+    img = np.full((100, 120, 3), 200, np.uint8)
+    out = paint_text_box(img, [(30, 40, 50, 30)])
+    assert out.shape == img.shape
+    # background darkened by alpha=0.8
+    assert abs(int(out[5, 5, 0]) - 160) <= 1
+    # rectangle edge is green
+    assert tuple(out[40, 60]) == (0, 255, 0)   # top edge at y=40
+    assert tuple(out[70, 60]) == (0, 255, 0)   # bottom edge y=40+30
+    # label area (x+4, y+20 baseline) contains white and black pixels
+    patch = out[40:62, 30:60]
+    assert (patch == 255).all(axis=-1).any(), "no white label text"
+    assert (patch == 0).all(axis=-1).any(), "no black label background"
+
+    out2 = paint_text_point(img, [(60, 50)])
+    assert tuple(out2[50, 60]) == (0, 255, 0)  # filled dot center
+    assert abs(int(out2[5, 5, 0]) - 140) <= 1  # alpha=0.7
+
+    assert np.array_equal(paint_annotation(img, {}), img)
+    assert not np.array_equal(
+        paint_annotation(img, {"bbox": [(10, 10, 20, 20)]}), img
+    )
+
+
+def test_mdvp_transfer_carries_annotation_and_context():
+    from grasp_any_region_tpu.evaluation.mdvp import context_for, transfer
+
+    results = [
+        {
+            "image_path": "a.jpg",
+            "dataset_name": "mdvp_natural",
+            "caption": "pred",
+            "gt": "ref",
+            "annotation": {"bbox": [[1, 2, 3, 4]]},
+        }
+    ]
+    tri = transfer(results)[0]
+    assert tri["annotation"] == {"bbox": [[1, 2, 3, 4]]}
+    assert tri["context"] == "The image is a natural image."
+    assert context_for("ocr_chart") is not None
+    assert context_for(None) is None

@@ -188,6 +188,74 @@ def test_engine_chunked_decode_matches_per_token(rng):
     assert results[0] == results[1]
 
 
+def test_paged_fused_step_matches_reference(rng):
+    """The weight-streaming paged decode step (Pallas interpret on CPU) must
+    match the plain-XLA paged step bit-for-bit in structure (fp32 tolerance).
+    slots=3 != kv_heads=2 on purpose (catches (B,K,D)/(K,B,D) transposes)."""
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import (
+        llama_decode_step_paged,
+        llama_decode_step_paged_fused,
+    )
+
+    cfg = gar_tiny()
+    tc = cfg.text
+    params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    slots, ps, n, mp = 3, 16, 32, 4
+    l, kh, dh = tc.num_layers, tc.num_kv_heads, tc.head_dim
+    k_pool = jnp.asarray(
+        rng.standard_normal((l, kh, n, ps, dh)), jnp.float32)
+    v_pool = jnp.asarray(
+        rng.standard_normal((l, kh, n, ps, dh)), jnp.float32)
+    bt = np.zeros((slots, mp), np.int32)
+    used = rng.permutation(np.arange(1, n))[: slots * mp].reshape(slots, mp)
+    bt[:] = used
+    seq_lens = jnp.asarray([30, 17, 5], jnp.int32)
+    active = jnp.asarray([True, True, False])
+    embeds = jnp.asarray(
+        rng.standard_normal((slots, 1, tc.hidden_size)), jnp.float32)
+
+    h1, k1, v1 = llama_decode_step_paged(
+        params["llm"], tc, embeds, k_pool, v_pool, jnp.asarray(bt),
+        seq_lens, active)
+    h2, k2, v2 = llama_decode_step_paged_fused(
+        params["llm"], tc, embeds, k_pool, v_pool, jnp.asarray(bt),
+        seq_lens, active, interpret=True)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
+def test_engine_fused_matches_generate(rng):
+    """Engine with the fused (weight-streaming) decode step — slots=3 !=
+    kv_heads, batched admission covered (3 same-shape submissions)."""
+    from grasp_any_region_tpu.models.generate import generate
+    from grasp_any_region_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    cfg, params, batches = _tiny_setup(51)
+    max_new = 5
+    expected = {}
+    for i, (b, plens) in enumerate(batches):
+        res = generate(params, cfg, b, plens, max_new_tokens=max_new,
+                       eot_id=-1, mask_compat=False, use_flash=False)
+        expected[i] = list(np.asarray(res.tokens)[0])
+
+    ecfg = EngineConfig(
+        slots=3, page_size=16, num_pages=128, max_pages_per_slot=64,
+        max_new_tokens=max_new, eot_id=-1, mask_compat=False, use_fused=True,
+    )
+    eng = ContinuousBatchingEngine(params, cfg, ecfg, dtype=jnp.float32)
+    ids = {}
+    for i, (b, plens) in enumerate(batches):
+        ids[eng.submit(b, int(np.asarray(plens)[0]))] = i
+    out = eng.run()
+    assert len(out) == 3
+    for rid, toks in out.items():
+        assert toks == expected[ids[rid]], (rid, toks, expected[ids[rid]])
+
+
 def test_engine_staggered_admission(rng):
     """Requests submitted mid-flight produce the same tokens as fresh runs."""
     from grasp_any_region_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
