@@ -77,12 +77,16 @@ def run_config(batch_size: int, iters: int = 3, quantize: bool = False):
     return caps
 
 
-def run_serving(n_requests: int = 8, slots: int = 8, new_tokens: int = 64):
+def run_serving(n_requests: int = 8, slots: int = 8,
+                new_tokens: int = DECODE_TOKENS):
     """Informational: continuous-batching engine (paged KV, serve/engine.py).
 
     Unlike the static-batch configs above, requests are admitted into a slot
     ring as pages free up — the serving-mode number the reference stack
-    cannot produce at all (HF generate, one request at a time)."""
+    cannot produce at all (HF generate, one request at a time). Workload
+    matches the static B=8 config (17-tile prompts, 256 decode tokens) so
+    the tok/s line is directly comparable; queued same-shape requests
+    prefill together (batched admission)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -98,7 +102,7 @@ def run_serving(n_requests: int = 8, slots: int = 8, new_tokens: int = 64):
     cfg = gar_1b()
     params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     reqs = []
-    for i in range(n_requests):
+    for i in range(2 * n_requests):
         b, _, pl = synthetic_batch(cfg, batch=1, grid=(4, 4), regions=1, seed=i)
         reqs.append((b, int(np.asarray(pl)[0])))
     ecfg = EngineConfig(
@@ -107,11 +111,13 @@ def run_serving(n_requests: int = 8, slots: int = 8, new_tokens: int = 64):
         mask_compat=False, decode_chunk=32,
     )
     eng = ContinuousBatchingEngine(params, cfg, ecfg)
-    for b, pl in reqs[:2]:  # compile warmup
+    # warmup with the SAME request count so every shape (group prefill,
+    # decode chunk) compiles outside the timed region
+    for b, pl in reqs[:n_requests]:
         eng.submit(b, pl)
     eng.run()
     t0 = time.time()
-    for b, pl in reqs:
+    for b, pl in reqs[n_requests:]:
         eng.submit(b, pl)
     out = eng.run()
     dt = time.time() - t0
@@ -122,6 +128,7 @@ def run_serving(n_requests: int = 8, slots: int = 8, new_tokens: int = 64):
         f"{n_requests*new_tokens/dt:.0f} tok/s",
         file=sys.stderr,
     )
+    return n_requests * new_tokens / dt
 
 
 def main():

@@ -84,17 +84,22 @@ def main(argv=None):
 
     t0 = time.time()
     done = 0
-    while eng.has_work():
-        eng.step_chunk() if ecfg.decode_chunk > 1 else eng.step()
-        for rid, toks in sorted(eng.finished.items()):
+    acc: dict = {}
+
+    def on_event(ev):
+        nonlocal done
+        acc.setdefault(ev.request_id, []).append(ev.token)
+        if ev.done:
+            toks = acc.pop(ev.request_id)
             ids = [t for t in toks if t != rt.tok.eot_id]
             text = rt.tok.decode(ids, skip_special_tokens=False)
             dt = time.time() - t0
             done += 1
-            print(f"=== {names[rid]} (request {rid}, {len(toks)} tok, "
-                  f"t+{dt:.1f}s) ===")
+            print(f"=== {names[ev.request_id]} (request {ev.request_id}, "
+                  f"{len(toks)} tok, t+{dt:.1f}s) ===")
             print(text)
-        eng.finished.clear()
+
+    eng.run(on_event)
     dt = time.time() - t0
     print(
         f"[serve] {done} caption(s) in {dt:.2f}s -> {done/dt:.2f} requests/s",

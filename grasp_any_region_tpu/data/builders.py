@@ -135,6 +135,7 @@ def collate_samples(
     seq_bucket: int = SEQ_BUCKET,
     with_labels: bool = False,
     seq_multiple: int = 1,
+    pad_to_len: Optional[int] = None,
 ) -> Tuple[GARBatch, jnp.ndarray, Optional[jnp.ndarray]]:
     """Pad per-sample arrays to the batch's static shapes.
 
@@ -142,7 +143,9 @@ def collate_samples(
     (mirrors custom_collect_fn.py:67-87). seq_multiple: additionally pad S to
     a multiple of the sequence-parallel world size (the reference's
     pad_for_sequence_parallel, custom_collect_fn.py:89-94) — required for the
-    Ulysses/ring seq-axis exchange.
+    Ulysses/ring seq-axis exchange. pad_to_len: force the padded length to a
+    fixed value — multi-host training needs every process to produce the
+    same global shapes regardless of its local samples.
     """
     b = len(samples)
     r_max = max_regions or cfg.prompt_numbers
@@ -152,6 +155,12 @@ def collate_samples(
     s_pad = ((s_max + seq_bucket - 1) // seq_bucket) * seq_bucket
     if seq_multiple > 1 and s_pad % seq_multiple:
         s_pad += seq_multiple - s_pad % seq_multiple
+    if pad_to_len is not None:
+        assert s_max <= pad_to_len, (
+            f"sample length {s_max} exceeds pad_to_len {pad_to_len}"
+        )
+        assert pad_to_len % max(1, seq_multiple) == 0
+        s_pad = pad_to_len
     ts = cfg.tile_size
 
     input_ids = np.full((b, s_pad), pad_id, np.int32)

@@ -51,6 +51,13 @@ def postprocess_mask(logits: np.ndarray, scale_hw: Tuple[int, int],
 class SamPredictor:
     params: Optional[dict] = None
     cfg: Optional[SAMConfig] = None
+    # image-embedding LRU (sha1 of pixels -> (embedding, scale, (nh, nw))):
+    # interactive clients re-prompt the same image many times; the encoder
+    # (~90% of SAM latency) runs once and every further click only pays the
+    # prompt-encoder + mask-decoder (the reference achieves this by shipping
+    # the embedding to an in-browser ONNX decoder, demo/gradio/frontend/)
+    _emb_cache: dict = None
+    _emb_cache_max: int = 8
 
     @classmethod
     def load(cls, model_path: Optional[str]) -> "SamPredictor":
@@ -65,6 +72,27 @@ class SamPredictor:
     def has_model(self) -> bool:
         return self.params is not None
 
+    def _embedding(self, image: np.ndarray):
+        """Cached (embedding, scale, (nh, nw)) for this image."""
+        import hashlib
+
+        import jax.numpy as jnp
+
+        from .model import encode_image
+
+        if self._emb_cache is None:
+            self._emb_cache = {}
+        key = hashlib.sha1(image.tobytes()).hexdigest()
+        hit = self._emb_cache.get(key)
+        if hit is None:
+            pix, scale, shp = preprocess_sam(image, self.cfg.img_size)
+            emb = encode_image(self.params, self.cfg, jnp.asarray(pix))
+            hit = (emb, scale, shp)
+            while len(self._emb_cache) >= self._emb_cache_max:
+                self._emb_cache.pop(next(iter(self._emb_cache)))
+            self._emb_cache[key] = hit
+        return hit
+
     def predict(
         self,
         image: np.ndarray,  # (H, W, 3) uint8
@@ -76,7 +104,9 @@ class SamPredictor:
         if self.has_model:
             import jax.numpy as jnp
 
-            pix, scale, (nh, nw) = preprocess_sam(image, self.cfg.img_size)
+            from .model import decode_masks, encode_points
+
+            emb, scale, (nh, nw) = self._embedding(image)
             pts: List[Tuple[float, float]] = []
             labs: List[int] = []
             for (x, y), l in zip(points or [], point_labels or []):
@@ -89,13 +119,16 @@ class SamPredictor:
                 pts.append((x2 * scale / self.cfg.img_size, y2 * scale / self.cfg.img_size))
                 labs.append(3)
             assert pts, "need at least one point or a box"
-            logits, iou = predict_mask(
-                self.params, self.cfg,
-                jnp.asarray(pix),
+            sparse = encode_points(
+                self.params,
                 jnp.asarray(np.asarray(pts, np.float32)[None]),
                 jnp.asarray(np.asarray(labs, np.int32)[None]),
             )
-            return postprocess_mask(np.asarray(logits[0]), (nh, nw), (h, w),
+            masks, iou = decode_masks(self.params, self.cfg, emb, sparse)
+            # best multimask output, skipping index 0 (predict_mask semantics)
+            best = int(np.argmax(np.asarray(iou)[0, 1:])) + 1
+            logits = np.asarray(masks)[0, best]
+            return postprocess_mask(logits, (nh, nw), (h, w),
                                     self.cfg.img_size)
 
         # geometric fallback

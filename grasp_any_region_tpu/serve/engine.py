@@ -54,15 +54,18 @@ class EngineConfig:
     pad_id: int = 0
     use_kernel: bool = False      # Pallas paged-attention kernel
     # layer-indexed weight-streaming decode step (+ int8 when quantized
-    # weights are present); None = auto (on for TPU). The round-1 XLA
-    # matmul step re-read weights ~3.9x per token (PERF_NOTES addendum 2).
+    # weights are present). Measured on-chip (B=8 slots, 80-page tables):
+    # 7.39 ms/step fused vs 7.67 XLA — the static-unroll XLA path already
+    # streams weights well, and the fused variant costs a ~13 min first
+    # compile (64 unrolled Pallas calls), so it stays opt-in. None = off.
     use_fused: Optional[bool] = None
     mask_compat: bool = True
     double_scale_compat: bool = True
-    # decode this many tokens per device call (multi-step scheduling):
-    # admissions/retirements happen at chunk boundaries; streams that hit
-    # <eot> mid-chunk decode garbage into their own pages until the boundary
-    # (discarded on host). 1 = per-token scheduling.
+    # pipelined-decode sync window: dispatch this many single-step device
+    # calls ahead of the host's token consumption (hides the ~80 ms relay
+    # sync latency; see _run_pipelined). Streams that hit <eot> decode up to
+    # window+1 speculative tokens into their own pages (discarded on host).
+    # 1 = fully synchronous per-token scheduling.
     decode_chunk: int = 1
 
 
@@ -121,9 +124,7 @@ class ContinuousBatchingEngine:
         self._prefill_fn = _prefill
         self._seed_fn = jax.jit(write_prompt_pages, donate_argnums=(0, 1))
 
-        use_fused = ecfg.use_fused
-        if use_fused is None:
-            use_fused = jax.default_backend() == "tpu"
+        use_fused = bool(ecfg.use_fused)
 
         def _paged_step(params_llm, embeds, kq, vq, block_table, sl, active):
             if use_fused:
@@ -147,33 +148,10 @@ class ContinuousBatchingEngine:
                 params["llm"], cfg.text, hidden[:, 0],
                 valid_vocab=cfg.extended_vocab_size,
             )
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_pool, v_pool
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return nxt, seq_lens + active.astype(jnp.int32), k_pool, v_pool
 
         self._decode_fn = _decode
-
-        @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("steps",))
-        def _decode_chunk(params, k_pool, v_pool, cur, block_table, seq_lens,
-                          active, steps):
-            def body(carry, _):
-                cur, sl, kq, vq = carry
-                embeds = embed_tokens(params["llm"], cur[:, None], dtype)
-                hidden, kq, vq = _paged_step(
-                    params["llm"], embeds, kq, vq, block_table, sl, active,
-                )
-                logits = lm_logits(
-                    params["llm"], cfg.text, hidden[:, 0],
-                    valid_vocab=cfg.extended_vocab_size,
-                )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                sl = sl + active.astype(jnp.int32)
-                return (nxt, sl, kq, vq), nxt
-
-            (cur, sl, k_pool, v_pool), toks = jax.lax.scan(
-                body, (cur, seq_lens, k_pool, v_pool), length=steps
-            )
-            return toks, k_pool, v_pool  # toks: (steps, slots)
-
-        self._decode_chunk_fn = _decode_chunk
 
     # -- client API ---------------------------------------------------------
 
@@ -188,20 +166,30 @@ class ContinuousBatchingEngine:
     def has_work(self) -> bool:
         return bool(self.queue) or bool(self.active.any())
 
-    def run(self) -> Dict[int, List[int]]:
-        """Drain the queue to completion; returns request_id -> token ids."""
-        while self.has_work():
-            self.step_chunk() if self.ecfg.decode_chunk > 1 else self.step()
+    def run(self, on_event=None) -> Dict[int, List[int]]:
+        """Drain the queue to completion; returns request_id -> token ids.
+
+        on_event: optional callback receiving a StepEvent per generated
+        token (streaming); with decode_chunk > 1 events arrive in bursts at
+        the pipelined loop's lagged sync points."""
+        if self.ecfg.decode_chunk > 1:
+            self._run_pipelined(on_event)
+        else:
+            while self.has_work():
+                for ev in self.step():
+                    if on_event is not None:
+                        on_event(ev)
         out, self.finished = self.finished, {}
         return out
 
     # -- scheduling ---------------------------------------------------------
 
     def _budget_pages(self, prompt_len: int) -> int:
-        # decode_chunk-1 slack: a stream finishing mid-chunk keeps caching
-        # (discarded) tokens until the chunk boundary
+        # decode_chunk+1 slack: a stream that hits <eot> keeps caching
+        # (discarded) speculative tokens until the pipelined loop's lagged
+        # sync notices, up to the sync window + one in-flight step
         n = pages_needed(
-            prompt_len + self.ecfg.max_new_tokens + self.ecfg.decode_chunk - 1,
+            prompt_len + self.ecfg.max_new_tokens + self.ecfg.decode_chunk + 1,
             self.ecfg.page_size,
         )
         assert n <= self.ecfg.max_pages_per_slot, (
@@ -288,7 +276,7 @@ class ContinuousBatchingEngine:
         self._admit()
         if not self.active.any():
             return []
-        nxt, self.k_pool, self.v_pool = self._decode_fn(
+        nxt, _, self.k_pool, self.v_pool = self._decode_fn(
             self.params, self.k_pool, self.v_pool,
             jnp.asarray(self.cur), jnp.asarray(self.block_table),
             jnp.asarray(self.seq_lens), jnp.asarray(self.active),
@@ -312,39 +300,89 @@ class ContinuousBatchingEngine:
                 self._retire(slot)
         return events
 
-    def step_chunk(self) -> List[StepEvent]:
-        """Decode `decode_chunk` tokens for all active slots in one device
-        call (amortizes host round-trips); schedule at the boundary."""
-        self._admit()
-        if not self.active.any():
-            return []
-        t_steps = self.ecfg.decode_chunk
-        toks, self.k_pool, self.v_pool = self._decode_chunk_fn(
-            self.params, self.k_pool, self.v_pool,
-            jnp.asarray(self.cur), jnp.asarray(self.block_table),
-            jnp.asarray(self.seq_lens), jnp.asarray(self.active),
-            steps=t_steps,
-        )
-        toks = np.asarray(toks)  # (T, slots)
-        events: List[StepEvent] = []
-        for slot in range(self.ecfg.slots):
-            if not self.active[slot]:
+    def _run_pipelined(self, on_event=None) -> None:
+        """Decode with asynchronous single-step dispatch.
+
+        The device relay costs ~80 ms per host sync (docs/PERF_NOTES.md
+        round-2 addendum), so per-token or per-chunk synchronous stepping is
+        latency-bound, and a lax.scan chunk pays a pool copy per iteration
+        (carry double-buffering). Instead: dispatch jitted single steps
+        back-to-back — cur/seq_lens stay device-resident, pools are donated
+        call-to-call — and sync each step's token `decode_chunk` steps
+        late, when it has long since finished. Retire/admit happen at drain
+        points (a slot finished, token budget reached, or an admission
+        became possible); tokens speculatively decoded for a just-finished
+        slot go to its still-held pages and are dropped on the host.
+        """
+        e = self.ecfg
+        window = e.decode_chunk
+        while self.has_work():
+            self._admit()
+            if not self.active.any():
+                if self.queue:
+                    rid, _, plen = self.queue[0]
+                    raise RuntimeError(
+                        f"request {rid} (prompt {plen}) needs more pages than "
+                        "the empty engine can provide — raise num_pages"
+                    )
                 continue
-            st = self.slots[slot]
-            finished = False
-            for t in range(t_steps):
-                tok = int(toks[t, slot])
-                st.tokens.append(tok)
-                finished = (
-                    tok == self.ecfg.eot_id
-                    or len(st.tokens) >= self.ecfg.max_new_tokens
+            cur_dev = jnp.asarray(self.cur)
+            sl_dev = jnp.asarray(self.seq_lens)
+            bt_dev = jnp.asarray(self.block_table)
+            act_dev = jnp.asarray(self.active)
+            dispatch_slots = [
+                s for s in range(e.slots) if self.active[s]
+            ]
+            applied = 0  # steps whose tokens the host has consumed
+            inflight: Deque[jnp.ndarray] = deque()  # per-step token futures
+            done_slots: set = set()
+            min_remaining = min(
+                e.max_new_tokens - len(self.slots[s].tokens)
+                for s in dispatch_slots
+            )
+
+            def apply_one() -> bool:
+                """Consume the oldest step's tokens; True if a slot finished."""
+                nonlocal applied
+                toks = np.asarray(inflight.popleft())
+                applied += 1
+                finished_any = False
+                for s in dispatch_slots:
+                    if s in done_slots:
+                        continue  # speculative garbage for finished slots
+                    st = self.slots[s]
+                    tok = int(toks[s])
+                    st.tokens.append(tok)
+                    self.cur[s] = tok
+                    self.seq_lens[s] += 1
+                    done = (
+                        tok == e.eot_id
+                        or len(st.tokens) >= e.max_new_tokens
+                    )
+                    if on_event is not None:
+                        on_event(StepEvent(st.request_id, tok, done))
+                    if done:
+                        done_slots.add(s)
+                        finished_any = True
+                return finished_any
+
+            dispatched = 0
+            drain = False
+            while not drain:
+                nxt, sl_dev, self.k_pool, self.v_pool = self._decode_fn(
+                    self.params, self.k_pool, self.v_pool,
+                    cur_dev, bt_dev, sl_dev, act_dev,
                 )
-                events.append(StepEvent(st.request_id, tok, finished))
-                if finished:
-                    break
-            if finished:
-                self._retire(slot)  # tokens past <eot> in this chunk dropped
-            else:
-                self.seq_lens[slot] += t_steps
-                self.cur[slot] = int(toks[t_steps - 1, slot])
-        return events
+                cur_dev = nxt
+                inflight.append(nxt)
+                dispatched += 1
+                if dispatched >= min_remaining:
+                    drain = True  # some slot is at its token budget
+                elif len(inflight) > window:
+                    drain = apply_one()  # lagged sync; stop if someone ended
+            while inflight:
+                apply_one()
+            # device seq_lens advanced for done slots past their eot; the
+            # host mirror above only counts kept tokens — retire zeroes it
+            for s in sorted(done_slots):
+                self._retire(s)

@@ -32,41 +32,70 @@ import numpy as np
 INDEX_HTML = """<!doctype html>
 <html><head><title>Grasp Any Region (TPU)</title>
 <style>body{font-family:sans-serif;max-width:900px;margin:2em auto}
-img{max-width:100%;cursor:crosshair;border:1px solid #999}
-#out{white-space:pre-wrap;background:#f4f4f4;padding:1em;min-height:3em}</style>
+#stage{position:relative;display:inline-block}
+#stage img{max-width:100%;display:block}
+#img{cursor:crosshair;border:1px solid #999}
+#overlay{position:absolute;left:0;top:0;pointer-events:none;opacity:.85}
+#out{white-space:pre-wrap;background:#f4f4f4;padding:1em;min-height:3em}
+#status{color:#777;font-size:.9em}</style>
 </head><body>
 <h2>Grasp Any Region — TPU demo</h2>
-<p>Upload an image, click a point on the object, press Describe.</p>
+<p>Upload an image, click the object (mask preview appears), press
+Describe — the caption streams in below. Shift-click adds refinement
+points.</p>
 <input type="file" id="file" accept="image/*">
 <button onclick="describe()">Describe</button>
-<button onclick="pts=[];draw()">Clear points</button>
-<div><img id="img" style="display:none"></div>
+<button onclick="clearPts()">Clear points</button>
+<span id="status"></span>
+<div id="stage"><img id="img" style="display:none">
+<img id="overlay" style="display:none"></div>
 <div id="out"></div>
 <script>
 let pts = [], b64 = null;
 const img = document.getElementById('img');
+const overlay = document.getElementById('overlay');
+const status = document.getElementById('status');
 document.getElementById('file').onchange = e => {
   const r = new FileReader();
   r.onload = () => { b64 = r.result.split(',')[1]; img.src = r.result;
-                     img.style.display = 'block'; pts = []; };
+                     img.style.display = 'block'; clearPts(); };
   r.readAsDataURL(e.target.files[0]);
 };
-img.onclick = e => {
+function clearPts(){ pts = []; overlay.style.display = 'none';
+                     status.textContent = ''; }
+img.onclick = async e => {
   const rect = img.getBoundingClientRect();
   const x = (e.clientX - rect.left) * img.naturalWidth / rect.width;
   const y = (e.clientY - rect.top) * img.naturalHeight / rect.height;
-  pts.push([x, y]); draw();
-};
-function draw(){ document.getElementById('out').textContent =
-  'points: ' + JSON.stringify(pts.map(p => p.map(Math.round))); }
-async function describe(){
-  if (!b64 || !pts.length) { alert('image + at least one point'); return; }
-  document.getElementById('out').textContent = '...';
-  const resp = await fetch('/describe', {method: 'POST',
+  if (!e.shiftKey) pts = [];
+  pts.push([x, y]);
+  status.textContent = 'decoding mask...';
+  const resp = await fetch('/point_to_mask', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify({image: b64, points: pts})});
   const j = await resp.json();
-  document.getElementById('out').textContent = j.text || JSON.stringify(j);
+  if (j.overlay) {
+    overlay.src = 'data:image/png;base64,' + j.overlay;
+    overlay.style.display = 'block';
+    overlay.style.width = img.clientWidth + 'px';
+    status.textContent = 'mask: ' + j.area + ' px';
+  } else { status.textContent = j.error || 'no mask'; }
+};
+async function describe(){
+  if (!b64 || !pts.length) { alert('image + at least one point'); return; }
+  const out = document.getElementById('out');
+  out.textContent = '';
+  const resp = await fetch('/describe', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({image: b64, points: pts, stream: true})});
+  if (!resp.ok) { out.textContent = await resp.text(); return; }
+  const reader = resp.body.getReader();
+  const dec = new TextDecoder();
+  for (;;) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    out.textContent += dec.decode(value);
+  }
 }
 </script></body></html>"""
 
@@ -113,6 +142,49 @@ class GARServer:
                 [sample], max_new_tokens=int(req.get("max_new_tokens", self.max_new_tokens))
             )[0]
         return {"text": text}
+
+    def point_to_mask(self, req: dict) -> dict:
+        """Interactive mask preview: {image, points?, box?} -> RGBA overlay
+        PNG + mask PNG. The SAM image embedding is cached server-side
+        (sam/pipeline.SamPredictor._embedding), so repeated clicks on the
+        same image skip the encoder — the server-side twin of the
+        reference's in-browser ONNX decoding (demo/gradio/frontend/)."""
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(req["image"]))).convert("RGB")
+        )
+        points = req.get("points")
+        box = req.get("box")
+        with self.lock:
+            mask = self.sam.predict(
+                img,
+                points=[tuple(p) for p in points] if points else None,
+                point_labels=[1] * len(points) if points else None,
+                box=tuple(box) if box else None,
+            )
+        area = int(mask.sum())
+        if area == 0:
+            return {"error": "empty mask from prompt"}
+        h, w = mask.shape
+        rgba = np.zeros((h, w, 4), np.uint8)
+        rgba[..., 0] = 255  # red fill
+        rgba[..., 3] = mask * 110  # transparent off-mask
+        from ..sam.pipeline import mask_contours
+
+        edge = mask_contours(mask).astype(bool)
+        rgba[edge] = (255, 40, 40, 255)
+
+        def png_b64(arr, mode):
+            buf = io.BytesIO()
+            Image.fromarray(arr, mode).save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        return {
+            "overlay": png_b64(rgba, "RGBA"),
+            "mask": png_b64(mask * 255, "L"),
+            "area": area,
+        }
 
     def sam_embedding(self, req: dict) -> dict:
         from PIL import Image
@@ -169,6 +241,21 @@ class GARServer:
                 else:
                     self._json(404, {"error": "not found"})
 
+            def _stream_text(self, text: str, chunk: int = 24):
+                """Chunked pseudo-streaming (the reference's char loop,
+                demo/gradio/app.py:108-156, over HTTP chunked encoding)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                data = text.encode()
+                for i in range(0, len(data), chunk):
+                    piece = data[i : i + chunk]
+                    self.wfile.write(f"{len(piece):x}\r\n".encode())
+                    self.wfile.write(piece + b"\r\n")
+                    self.wfile.flush()
+                self.wfile.write(b"0\r\n\r\n")
+
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 try:
@@ -179,6 +266,11 @@ class GARServer:
                 try:
                     if self.path == "/describe":
                         out = server_self.describe(req)
+                        if req.get("stream") and "text" in out:
+                            self._stream_text(out["text"])
+                            return
+                    elif self.path == "/point_to_mask":
+                        out = server_self.point_to_mask(req)
                     elif self.path == "/image_to_sam_embedding":
                         out = server_self.sam_embedding(req)
                     else:

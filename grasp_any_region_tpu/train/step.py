@@ -130,14 +130,29 @@ def init_sharded_state(
 
 
 def shard_batch(batch: GARBatch, labels: jnp.ndarray, mesh: Mesh):
-    """Place a host batch onto the mesh (batch axis over data+fsdp)."""
+    """Place a host batch onto the mesh (batch axis over data+fsdp).
+
+    Single-process: a plain global device_put. Multi-host (a real pod):
+    each process passes only ITS batch rows — local shards assemble into the
+    global array via `jax.make_array_from_process_local_data`, the pattern
+    torchrun+DistributedSampler covered in the reference (tools/dist.sh,
+    DistSamplerSeedHook) — no cross-host batch gather ever happens.
+    """
+    label_sharding = NamedSharding(mesh, P(("data", "fsdp"), None))
     shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), batch_pspecs(batch)
     )
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(x, sh):
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+        batch = jax.tree_util.tree_map(put, batch, shardings)
+        labels = put(labels, label_sharding)
+        return batch, labels
     batch = jax.tree_util.tree_map(jax.device_put, batch, shardings)
-    labels = jax.device_put(
-        labels, NamedSharding(mesh, P(("data", "fsdp"), None))
-    )
+    labels = jax.device_put(labels, label_sharding)
     return batch, labels
 
 

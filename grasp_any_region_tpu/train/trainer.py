@@ -77,6 +77,23 @@ class Trainer:
         # sequence parallelism: collate pads S to a multiple of the seq axis
         # (the reference's pad_for_sequence_parallel, custom_collect_fn.py:89-94)
         self.seq_multiple = tcfg.mesh.seq if tcfg.mesh else 1
+        # multi-host: each process loads only its slice of every step's batch
+        # and must emit identical static shapes (shard_batch assembles the
+        # global array from per-process shards)
+        self.n_procs = jax.process_count()
+        self.proc_id = jax.process_index()
+        if self.n_procs > 1:
+            if tcfg.batch_size % self.n_procs:
+                raise ValueError(
+                    f"batch_size {tcfg.batch_size} must divide over "
+                    f"{self.n_procs} processes"
+                )
+            self.pad_to_len = dataset.ds_cfg.max_length
+            if self.pad_to_len % max(1, self.seq_multiple):
+                m = self.seq_multiple
+                self.pad_to_len += m - self.pad_to_len % m
+        else:
+            self.pad_to_len = None
         self.ckpt = CheckpointManager(
             tcfg.work_dir,
             save_interval=tcfg.save_interval,
@@ -118,20 +135,24 @@ class Trainer:
 
         # materialize the exact per-step index sequence, then prefetch it on
         # a thread pool (data/loader.py) so sample building overlaps the
-        # device step
+        # device step. Multi-host: this process takes rows
+        # [proc_id*local_bs, (proc_id+1)*local_bs) of every step's batch.
+        local_bs = t.batch_size // self.n_procs
+        row0 = self.proc_id * local_bs
         step_indices = []
         for step in range(start_step, max_steps):
             epoch, pos = divmod(step, steps_per_epoch)
             order = order_for(epoch)
-            lo = pos * t.batch_size
+            lo = pos * t.batch_size + row0
             # modulo only bites in the degenerate n_items < batch_size case
             step_indices.extend(
-                int(order[(lo + k) % len(order)]) for k in range(t.batch_size)
+                int(order[(lo + k) % len(order)]) for k in range(local_bs)
             )
         loader = PrefetchLoader(
-            self.dataset, step_indices, batch_size=t.batch_size,
+            self.dataset, step_indices, batch_size=local_bs,
             collate_fn=lambda xs: collate_samples(
-                self.cfg, xs, with_labels=True, seq_multiple=self.seq_multiple
+                self.cfg, xs, with_labels=True, seq_multiple=self.seq_multiple,
+                pad_to_len=self.pad_to_len,
             ),
             num_workers=max(1, t.num_workers),
             prefetch_batches=max(1, t.prefetch_batches),

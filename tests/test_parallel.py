@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from grasp_any_region_tpu.core.config import gar_tiny
 from grasp_any_region_tpu.core.mesh import MeshSpec, make_mesh
 from grasp_any_region_tpu.data.synthetic import synthetic_batch

@@ -103,3 +103,39 @@ def test_error_paths(server_url, rng):
     # unknown route
     code, out = _post(server_url + "/nope", {})
     assert code == 404
+
+
+def test_point_to_mask_overlay(server_url, rng):
+    code, out = _post(
+        server_url + "/point_to_mask",
+        {"image": _b64_image(rng), "points": [[80, 60]]},
+    )
+    assert code == 200, out
+    assert out["area"] > 0
+    overlay = np.asarray(
+        Image.open(io.BytesIO(base64.b64decode(out["overlay"])))
+    )
+    assert overlay.shape == (120, 160, 4)
+    # on-mask pixels are red with nonzero alpha; off-mask fully transparent
+    assert overlay[..., 3].max() == 255 and overlay[..., 3].min() == 0
+    mask = np.asarray(Image.open(io.BytesIO(base64.b64decode(out["mask"]))))
+    assert mask.shape == (120, 160) and set(np.unique(mask)) <= {0, 255}
+    # geometric fallback: disk around the click
+    assert mask[60, 80] == 255 and mask[0, 0] == 0
+
+
+def test_describe_streaming(server_url, rng):
+    """stream=true chunk-streams plain text (no JSON envelope)."""
+    req = urllib.request.Request(
+        server_url + "/describe",
+        json.dumps(
+            {"image": _b64_image(rng), "points": [[80, 60]],
+             "max_new_tokens": 4, "stream": True}
+        ).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert isinstance(text, str)
