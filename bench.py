@@ -108,7 +108,9 @@ def run_serving(n_requests: int = 8, slots: int = 8,
     ecfg = EngineConfig(
         slots=slots, page_size=64, num_pages=slots * 80 + 1,
         max_pages_per_slot=80, max_new_tokens=new_tokens, eot_id=-1,
-        mask_compat=False, decode_chunk=32,
+        # window == max_new: the whole generation is ONE device call + ONE
+        # fetch (the relay charges per fetch; eot exits the window early)
+        mask_compat=False, decode_chunk=new_tokens,
     )
     eng = ContinuousBatchingEngine(params, cfg, ecfg)
     # warmup with the SAME request count so every shape (group prefill,

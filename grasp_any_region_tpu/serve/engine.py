@@ -153,6 +153,57 @@ class ContinuousBatchingEngine:
 
         self._decode_fn = _decode
 
+        @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("steps",))
+        def _decode_window(params, k_pool, v_pool, cur, block_table, seq_lens,
+                           active, rem, steps):
+            """Decode up to `steps` tokens for all slots in ONE device call.
+
+            eot and the per-slot token budget (`rem`) are checked ON DEVICE:
+            finished slots freeze (their writes go to the trash page), and
+            the while_loop exits early once every active slot is done — so a
+            window emits exactly the tokens the host will keep, with one
+            fetch for the whole window (the device relay charges per fetch,
+            not per dispatch: docs/PERF_NOTES.md round-2 addendum)."""
+            eot = e_eot
+
+            def cond(st):
+                i, cur, counts, sl, done, kq, vq, out = st
+                return (i < steps) & ~jnp.all(done | ~active)
+
+            def body(st):
+                i, cur, counts, sl, done, kq, vq, out = st
+                act_eff = active & ~done
+                embeds = embed_tokens(params["llm"], cur[:, None], dtype)
+                hidden, kq, vq = _paged_step(
+                    params["llm"], embeds, kq, vq, block_table, sl, act_eff,
+                )
+                logits = lm_logits(
+                    params["llm"], cfg.text, hidden[:, 0],
+                    valid_vocab=cfg.extended_vocab_size,
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                out = out.at[i].set(jnp.where(act_eff, nxt, e_pad))
+                counts = counts + act_eff.astype(jnp.int32)
+                sl = sl + act_eff.astype(jnp.int32)
+                done = done | (act_eff & ((nxt == eot) | (counts >= rem)))
+                cur = jnp.where(act_eff, nxt, cur)
+                return (i + 1, cur, counts, sl, done, kq, vq, out)
+
+            slots = cur.shape[0]
+            out0 = jnp.full((steps, slots), e_pad, jnp.int32)
+            counts0 = jnp.zeros((slots,), jnp.int32)
+            done0 = jnp.zeros((slots,), bool)
+            i0 = jnp.asarray(0, jnp.int32)
+            (_, cur, counts, sl, done, k_pool, v_pool, out) = jax.lax.while_loop(
+                cond, body,
+                (i0, cur, counts0, seq_lens, done0, k_pool, v_pool, out0),
+            )
+            return out, counts, k_pool, v_pool
+
+        e_eot = ecfg.eot_id
+        e_pad = ecfg.pad_id
+        self._decode_window_fn = _decode_window
+
     # -- client API ---------------------------------------------------------
 
     def submit(self, batch: GARBatch, prompt_len: int) -> int:
@@ -185,11 +236,10 @@ class ContinuousBatchingEngine:
     # -- scheduling ---------------------------------------------------------
 
     def _budget_pages(self, prompt_len: int) -> int:
-        # decode_chunk+1 slack: a stream that hits <eot> keeps caching
-        # (discarded) speculative tokens until the pipelined loop's lagged
-        # sync notices, up to the sync window + one in-flight step
+        # +1 safety only: the decode window checks eot and the per-slot
+        # budget on device, so no speculative tokens are ever cached
         n = pages_needed(
-            prompt_len + self.ecfg.max_new_tokens + self.ecfg.decode_chunk + 1,
+            prompt_len + self.ecfg.max_new_tokens + 1,
             self.ecfg.page_size,
         )
         assert n <= self.ecfg.max_pages_per_slot, (
@@ -301,21 +351,18 @@ class ContinuousBatchingEngine:
         return events
 
     def _run_pipelined(self, on_event=None) -> None:
-        """Decode with asynchronous single-step dispatch.
+        """Windowed decode: ONE device call + ONE fetch per decode_chunk
+        tokens.
 
-        The device relay costs ~80 ms per host sync (docs/PERF_NOTES.md
-        round-2 addendum), so per-token or per-chunk synchronous stepping is
-        latency-bound, and a lax.scan chunk pays a pool copy per iteration
-        (carry double-buffering). Instead: dispatch jitted single steps
-        back-to-back — cur/seq_lens stay device-resident, pools are donated
-        call-to-call — and sync each step's token `decode_chunk` steps
-        late, when it has long since finished. Retire/admit happen at drain
-        points (a slot finished, token budget reached, or an admission
-        became possible); tokens speculatively decoded for a just-finished
-        slot go to its still-held pages and are dropped on the host.
+        The device relay executes lazily and charges per FETCH — per-token
+        or per-chunk synchronous stepping replays work on every sync
+        (docs/PERF_NOTES.md round-2 addendum). So the whole window runs
+        inside a jitted while_loop with on-device eot + per-slot budget
+        checks (finished slots freeze, the loop exits early when all are
+        done), and the host syncs exactly once per window, then
+        retires/admits at the boundary.
         """
         e = self.ecfg
-        window = e.decode_chunk
         while self.has_work():
             self._admit()
             if not self.active.any():
@@ -326,63 +373,34 @@ class ContinuousBatchingEngine:
                         "the empty engine can provide — raise num_pages"
                     )
                 continue
-            cur_dev = jnp.asarray(self.cur)
-            sl_dev = jnp.asarray(self.seq_lens)
-            bt_dev = jnp.asarray(self.block_table)
-            act_dev = jnp.asarray(self.active)
-            dispatch_slots = [
-                s for s in range(e.slots) if self.active[s]
-            ]
-            applied = 0  # steps whose tokens the host has consumed
-            inflight: Deque[jnp.ndarray] = deque()  # per-step token futures
-            done_slots: set = set()
-            min_remaining = min(
-                e.max_new_tokens - len(self.slots[s].tokens)
-                for s in dispatch_slots
+            live = [s for s in range(e.slots) if self.active[s]]
+            rem = np.zeros(e.slots, np.int32)
+            for s in live:
+                rem[s] = e.max_new_tokens - len(self.slots[s].tokens)
+            toks, counts, self.k_pool, self.v_pool = self._decode_window_fn(
+                self.params, self.k_pool, self.v_pool,
+                jnp.asarray(self.cur), jnp.asarray(self.block_table),
+                jnp.asarray(self.seq_lens), jnp.asarray(self.active),
+                jnp.asarray(rem), steps=e.decode_chunk,
             )
-
-            def apply_one() -> bool:
-                """Consume the oldest step's tokens; True if a slot finished."""
-                nonlocal applied
-                toks = np.asarray(inflight.popleft())
-                applied += 1
-                finished_any = False
-                for s in dispatch_slots:
-                    if s in done_slots:
-                        continue  # speculative garbage for finished slots
-                    st = self.slots[s]
-                    tok = int(toks[s])
+            toks = np.asarray(toks)   # the window's single device fetch
+            counts = np.asarray(counts)
+            for s in live:
+                st = self.slots[s]
+                n = int(counts[s])
+                for t in range(n):
+                    tok = int(toks[t, s])
                     st.tokens.append(tok)
-                    self.cur[s] = tok
-                    self.seq_lens[s] += 1
                     done = (
                         tok == e.eot_id
                         or len(st.tokens) >= e.max_new_tokens
                     )
                     if on_event is not None:
                         on_event(StepEvent(st.request_id, tok, done))
-                    if done:
-                        done_slots.add(s)
-                        finished_any = True
-                return finished_any
-
-            dispatched = 0
-            drain = False
-            while not drain:
-                nxt, sl_dev, self.k_pool, self.v_pool = self._decode_fn(
-                    self.params, self.k_pool, self.v_pool,
-                    cur_dev, bt_dev, sl_dev, act_dev,
-                )
-                cur_dev = nxt
-                inflight.append(nxt)
-                dispatched += 1
-                if dispatched >= min_remaining:
-                    drain = True  # some slot is at its token budget
-                elif len(inflight) > window:
-                    drain = apply_one()  # lagged sync; stop if someone ended
-            while inflight:
-                apply_one()
-            # device seq_lens advanced for done slots past their eot; the
-            # host mirror above only counts kept tokens — retire zeroes it
-            for s in sorted(done_slots):
-                self._retire(s)
+                self.cur[s] = st.tokens[-1]
+                self.seq_lens[s] += n
+                if (
+                    st.tokens[-1] == e.eot_id
+                    or len(st.tokens) >= e.max_new_tokens
+                ):
+                    self._retire(s)
