@@ -10,11 +10,20 @@ Usage:
       --frame f0.png --frame f1.png --frame f2.png \
       --mask 0:m0.png --mask 2:m2.png \
       --question "What is the masked object doing?"
+
+  # or straight from a video container (uniform temporal sampling):
+  python -m grasp_any_region_tpu.cli.gar_video \
+      --video clip.mp4 --num-frames 8 --mask 0:m0.png \
+      --question "What is the masked object doing?"
+
+With --video, --mask frame indices refer to the SAMPLED frame positions
+(0..num_frames-1); the chosen source indices are printed.
 """
 
 from __future__ import annotations
 
 import argparse
+import sys
 
 from .runtime import GARRuntime, load_image, load_mask
 from ..data.builders import VideoRegionSample, build_video_batch
@@ -24,7 +33,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model-path", default=None)
     p.add_argument("--preset", default="gar_8b")
-    p.add_argument("--frame", action="append", required=True)
+    p.add_argument("--frame", action="append",
+                   help="ordered frame image paths (alternative to --video)")
+    p.add_argument("--video", default=None,
+                   help="video file; frames sampled uniformly (data/video.py)")
+    p.add_argument("--num-frames", type=int, default=8,
+                   help="frames to sample with --video")
     p.add_argument("--mask", action="append", required=True,
                    help="frame_idx:path pairs, e.g. 0:mask0.png")
     p.add_argument("--question", default="Describe this masked region in detail.")
@@ -32,7 +46,18 @@ def main(argv=None):
     p.add_argument("--random-init", action="store_true")
     args = p.parse_args(argv)
 
-    frames = [load_image(f) for f in args.frame]
+    if bool(args.frame) == bool(args.video):
+        p.error("give exactly one of --frame... or --video")
+    if args.video:
+        from ..data.video import read_video_frames
+
+        frames, src_idx, fps = read_video_frames(args.video, args.num_frames)
+        print(
+            f"[video] sampled {len(frames)} frames {src_idx} "
+            f"(fps {fps:.1f})", file=sys.stderr,
+        )
+    else:
+        frames = [load_image(f) for f in args.frame]
     masks = {}
     for spec in args.mask:
         idx, _, path = spec.partition(":")

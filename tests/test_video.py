@@ -1,6 +1,7 @@
 """Video path tests: per-frame replay, builder, end-to-end prefill."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -69,3 +70,46 @@ def test_video_prefill_end_to_end(rng):
         compute_dtype=jnp.float32, video_mode=True,
     )
     assert np.isfinite(np.asarray(hidden)).all()
+
+
+def test_read_video_frames_uniform_sampling(tmp_path):
+    """Write a tiny mp4 with cv2, read it back through the container loader
+    (data/video.py) and check uniform sampling + RGB conversion."""
+    cv2 = pytest.importorskip("cv2")
+    from grasp_any_region_tpu.data.video import (
+        read_video_frames,
+        uniform_frame_indices,
+    )
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for i in range(20):
+        # frame index encoded in the blue channel (BGR order in cv2)
+        frame = np.full((48, 64, 3), 0, np.uint8)
+        frame[..., 0] = i * 10  # blue
+        w.write(frame)
+    w.release()
+
+    frames, idx, fps = read_video_frames(path, num_frames=5)
+    assert len(frames) == 5 and len(idx) == 5
+    assert idx == uniform_frame_indices(20, 5) == [0, 5, 10, 14, 19]
+    assert abs(fps - 10.0) < 0.5
+    for fr, i in zip(frames, idx):
+        assert fr.shape == (48, 64, 3)
+        # BGR->RGB: encoded value lands in channel 2 (lossy codec: tolerance)
+        assert abs(int(fr[0, 0, 2]) - i * 10) <= 12, (i, fr[0, 0])
+
+    # request more frames than exist -> all frames
+    frames_all, idx_all, _ = read_video_frames(path, num_frames=50)
+    assert len(frames_all) == 20 and idx_all == list(range(20))
+
+
+def test_uniform_frame_indices_edges():
+    from grasp_any_region_tpu.data.video import uniform_frame_indices
+
+    assert uniform_frame_indices(0, 4) == []
+    assert uniform_frame_indices(3, 4) == [0, 1, 2]
+    assert uniform_frame_indices(4, 4) == [0, 1, 2, 3]
+    idx = uniform_frame_indices(100, 8)
+    assert idx[0] == 0 and idx[-1] == 99 and len(idx) == 8
+    assert idx == sorted(idx)
