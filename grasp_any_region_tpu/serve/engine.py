@@ -153,29 +153,43 @@ class ContinuousBatchingEngine:
 
         self._decode_fn = _decode
 
-        @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("steps",))
+        @partial(jax.jit, donate_argnums=(1, 2),
+                 static_argnames=("s_base", "steps"))
         def _decode_window(params, k_pool, v_pool, cur, block_table, seq_lens,
-                           active, rem, steps):
+                           active, rem, s_base, steps):
             """Decode up to `steps` tokens for all slots in ONE device call.
 
-            eot and the per-slot token budget (`rem`) are checked ON DEVICE:
-            finished slots freeze (their writes go to the trash page), and
-            the while_loop exits early once every active slot is done — so a
-            window emits exactly the tokens the host will keep, with one
-            fetch for the whole window (the device relay charges per fetch,
-            not per dispatch: docs/PERF_NOTES.md round-2 addendum)."""
+            The slots' pages gather into a dense two-interval KVCache
+            (paged_cache.gather_pages_dense) so the loop body is the static
+            generate path's llama_decode_step — in-place cache writes at
+            ~6.4 ms/step B=8 instead of the paged scatter/gather loop's
+            14-26 ms/step — then the window's new K/V flushes back to the
+            pages. eot and the per-slot token budget (`rem`) are checked ON
+            DEVICE: finished slots freeze and the while_loop exits early
+            once every active slot is done. ONE host fetch covers the whole
+            window (the relay charges per fetch: docs/PERF_NOTES.md)."""
+            from ..models.llama import KVCache, llama_decode_step
+            from .paged_cache import flush_window_pages, gather_pages_dense
+
             eot = e_eot
+            kd, vd = gather_pages_dense(
+                k_pool, v_pool, block_table, s_base, steps
+            )
+            cache0 = KVCache(
+                k=kd, v=vd, prompt_lens=seq_lens,
+                write_pos=jnp.asarray(s_base, jnp.int32),
+            )
 
             def cond(st):
-                i, cur, counts, sl, done, kq, vq, out = st
+                i, cur, counts, done, cache, out = st
                 return (i < steps) & ~jnp.all(done | ~active)
 
             def body(st):
-                i, cur, counts, sl, done, kq, vq, out = st
+                i, cur, counts, done, cache, out = st
                 act_eff = active & ~done
                 embeds = embed_tokens(params["llm"], cur[:, None], dtype)
-                hidden, kq, vq = _paged_step(
-                    params["llm"], embeds, kq, vq, block_table, sl, act_eff,
+                hidden, cache = llama_decode_step(
+                    params["llm"], cfg.text, embeds, cache, s_base,
                 )
                 logits = lm_logits(
                     params["llm"], cfg.text, hidden[:, 0],
@@ -184,19 +198,21 @@ class ContinuousBatchingEngine:
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 out = out.at[i].set(jnp.where(act_eff, nxt, e_pad))
                 counts = counts + act_eff.astype(jnp.int32)
-                sl = sl + act_eff.astype(jnp.int32)
                 done = done | (act_eff & ((nxt == eot) | (counts >= rem)))
                 cur = jnp.where(act_eff, nxt, cur)
-                return (i + 1, cur, counts, sl, done, kq, vq, out)
+                return (i + 1, cur, counts, done, cache, out)
 
             slots = cur.shape[0]
             out0 = jnp.full((steps, slots), e_pad, jnp.int32)
             counts0 = jnp.zeros((slots,), jnp.int32)
             done0 = jnp.zeros((slots,), bool)
             i0 = jnp.asarray(0, jnp.int32)
-            (_, cur, counts, sl, done, k_pool, v_pool, out) = jax.lax.while_loop(
-                cond, body,
-                (i0, cur, counts0, seq_lens, done0, k_pool, v_pool, out0),
+            (_, cur, counts, done, cache, out) = jax.lax.while_loop(
+                cond, body, (i0, cur, counts0, done0, cache0, out0),
+            )
+            k_pool, v_pool = flush_window_pages(
+                k_pool, v_pool, cache.k, cache.v, block_table,
+                seq_lens, counts, s_base, steps,
             )
             return out, counts, k_pool, v_pool
 
@@ -377,11 +393,17 @@ class ContinuousBatchingEngine:
             rem = np.zeros(e.slots, np.int32)
             for s in live:
                 rem[s] = e.max_new_tokens - len(self.slots[s].tokens)
+            # dense-cache column budget: longest live sequence, bucketed to
+            # 512-multiples of page_size so shapes (and compiles) are few
+            bucket = e.page_size * max(1, 512 // e.page_size)
+            s_base = int(max(self.seq_lens[s] for s in live))
+            s_base = ((s_base + bucket - 1) // bucket) * bucket
+            s_base = min(s_base, e.max_pages_per_slot * e.page_size)
             toks, counts, self.k_pool, self.v_pool = self._decode_window_fn(
                 self.params, self.k_pool, self.v_pool,
                 jnp.asarray(self.cur), jnp.asarray(self.block_table),
                 jnp.asarray(self.seq_lens), jnp.asarray(self.active),
-                jnp.asarray(rem), steps=e.decode_chunk,
+                jnp.asarray(rem), s_base=s_base, steps=e.decode_chunk,
             )
             toks = np.asarray(toks)   # the window's single device fetch
             counts = np.asarray(counts)

@@ -112,15 +112,80 @@ def write_prompt_pages(
     vp = jnp.pad(v_new, ((0, 0), (0, pad), (0, 0), (0, 0)))
     kp = kp.transpose(0, 2, 1, 3).reshape(l, kh, mp, ps, d).astype(k_pool.dtype)
     vp = vp.transpose(0, 2, 1, 3).reshape(l, kh, mp, ps, d).astype(v_pool.dtype)
+    # ONE scatter for all pages (a fori of per-page .at[].set ops risks a
+    # pool copy per iteration; trash-page duplicates at id 0 are harmless)
+    k_pool = k_pool.at[:, :, page_ids].set(kp)
+    v_pool = v_pool.at[:, :, page_ids].set(vp)
+    return k_pool, v_pool
 
-    def body(j, pools):
-        kq, vq = pools
-        pid = page_ids[j]
-        kq = kq.at[:, :, pid].set(kp[:, :, j])
-        vq = vq.at[:, :, pid].set(vp[:, :, j])
-        return kq, vq
 
-    return jax.lax.fori_loop(0, mp, body, (k_pool, v_pool))
+def gather_pages_dense(
+    k_pool: jnp.ndarray,   # (L, K, N, PS, D)
+    v_pool: jnp.ndarray,
+    block_table: jnp.ndarray,  # (B, MP)
+    s_base: int,           # static column budget to gather (multiple of PS)
+    window: int,           # extra zero columns appended for decode writes
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather each slot's pages into a dense (L, B, K, s_base+window, D)
+    cache — the two-interval KVCache layout (models/llama.KVCache) with the
+    cached tokens in [0, seq_len_b) and the decode window at [s_base, ...).
+
+    Rationale: a decode window on the dense cache runs at the in-place
+    dynamic_update_slice speed of the static generate path (6.4 ms/step at
+    B=8) instead of the paged scatter/gather loop cost (14-26 ms/step; see
+    docs/PERF_NOTES.md round-2). One gather per window amortizes to ~0.01
+    ms/step.
+    """
+    ps = k_pool.shape[3]
+    assert s_base % ps == 0
+    n_pages = s_base // ps
+    bt = block_table[:, :n_pages]
+    l, kh = k_pool.shape[0], k_pool.shape[1]
+    b = bt.shape[0]
+    d = k_pool.shape[4]
+    # total columns rounded up to 512 so the fused decode-attention kernel's
+    # block size always divides (ops/decode_attention.py)
+    total = ((s_base + window + 511) // 512) * 512
+    pad = total - s_base
+
+    def gather(pool):
+        g = pool[:, :, bt]  # (L, K, B, n, PS, D)
+        g = g.reshape(l, kh, b, s_base, d).transpose(0, 2, 1, 3, 4)
+        return jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+
+    return gather(k_pool), gather(v_pool)
+
+
+def flush_window_pages(
+    k_pool: jnp.ndarray,   # (L, K, N, PS, D)
+    v_pool: jnp.ndarray,
+    k_dense: jnp.ndarray,  # (L, B, K, s_base+window, D) — window cols filled
+    v_dense: jnp.ndarray,
+    block_table: jnp.ndarray,  # (B, MP)
+    start_lens: jnp.ndarray,   # (B,) tokens cached before the window
+    counts: jnp.ndarray,       # (B,) tokens decoded this window
+    s_base: int,
+    window: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter the window's new K/V (dense columns [s_base, s_base+counts_b))
+    back into each slot's pages at token positions start_lens_b + j, as ONE
+    vectorized scatter (a per-step fori of pool-sized .at[].set ops risks a
+    pool copy per iteration); columns beyond a slot's count go to the trash
+    page."""
+    ps = k_pool.shape[3]
+    b = block_table.shape[0]
+    rows = jnp.arange(b)[:, None]            # (B, 1)
+    ts = jnp.arange(window)[None, :]         # (1, T)
+    mask = ts < counts[:, None]              # (B, T)
+    pos = start_lens[:, None] + ts           # (B, T)
+    pid = jnp.where(mask, block_table[rows, pos // ps], 0)
+    off = jnp.where(mask, pos % ps, 0)
+    # dense window cols -> (L, K, B, T, D) to match the advanced-index target
+    kn = k_dense[:, :, :, s_base : s_base + window].swapaxes(1, 2)
+    vn = v_dense[:, :, :, s_base : s_base + window].swapaxes(1, 2)
+    k_pool = k_pool.at[:, :, pid, off].set(kn.astype(k_pool.dtype))
+    v_pool = v_pool.at[:, :, pid, off].set(vn.astype(v_pool.dtype))
+    return k_pool, v_pool
 
 
 def append_token_pages(
