@@ -300,3 +300,48 @@ def test_gar_8b_config_consistency():
     assert cfg.tokens_per_tile == 256
     assert cfg.max_num_tiles == 8  # gar_8b trains with 8 tiles
     assert cfg.padded_vocab_size % 256 == 0
+
+
+def test_layer_norm_fused_matches_reference(rng):
+    from grasp_any_region_tpu.ops.norms import (
+        layer_norm_fused,
+        layer_norm_reference,
+    )
+
+    x = jnp.asarray(rng.standard_normal((3, 37, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    ref = layer_norm_reference(x, w, b)
+    out = layer_norm_fused(x, w, b, interpret=True, block_rows=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_tpu_wrapper_grads(rng):
+    """The custom_vjp wrapper must produce the reference gradients (training
+    paths differentiate through layer_norm)."""
+    from grasp_any_region_tpu.ops import norms
+
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(norms.layer_norm_reference(x, w, b) ** 2)
+
+    # drive the custom_vjp path with an interpret-mode forward
+    orig = norms.layer_norm_fused
+    norms.layer_norm_fused = lambda x, w, b, eps=1e-6, **kw: orig(
+        x, w, b, eps, interpret=True, block_rows=4
+    )
+    try:
+        def loss_tpu(x, w, b):
+            return jnp.sum(norms._layer_norm_tpu(x, w, b, 1e-6) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+        g_tpu = jax.grad(loss_tpu, argnums=(0, 1, 2))(x, w, b)
+        for a, r in zip(g_tpu, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        norms.layer_norm_fused = orig
