@@ -111,3 +111,32 @@ def test_dlc_parse_pred_replays_cached_judge_responses():
             assert abs(out["score_neg"] - info["score_neg"]) < 1e-9, key
         checked += 1
     assert checked == 25
+
+
+FERRET_REVIEWS = "/root/reference/evaluation/Ferret-Bench/gpt4_result"
+
+
+@pytest.mark.parametrize("model,published", [("gar_1b", 56.0), ("gar_8b", 64.8)])
+def test_ferret_summary_replays_published(model, published):
+    """Replay the authors' cached GPT-4 pairwise reviews through OUR score
+    parser + summarizer and reproduce the published refer_desc numbers
+    (EVALUATION.md:237-247; summarize_gpt_review.py:60-66 semantics)."""
+    path = os.path.join(FERRET_REVIEWS, model, "review_refer_desc.jsonl")
+    if not os.path.exists(path):
+        pytest.skip("reference review cache not present")
+    from grasp_any_region_tpu.evaluation.judges.pairwise_judge import (
+        parse_scores,
+        summarize,
+    )
+
+    records = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            rec = json.loads(line)
+            parsed = parse_scores(rec["content"])
+            # our first-line parser must agree with the cached tuples
+            assert parsed == [float(x) for x in rec["tuple"]], (i, parsed)
+            records.append({"index": i, "scores": parsed,
+                            "dataset_name": rec.get("category")})
+    out = summarize(records)
+    assert out["overall"] == pytest.approx(published, abs=0.05), out
