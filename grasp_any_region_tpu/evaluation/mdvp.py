@@ -77,6 +77,36 @@ def context_for(dataset_name: Optional[str]) -> Optional[str]:
     return None
 
 
+def load_gpt4v_eval_dir(phase_dir: str) -> List[dict]:
+    """Load a reference-format `mdvp_for_gpt4v_eval/<phase>/` directory
+    (question.json + answer.json + prediction.json aligned by index,
+    MDVP-Bench/eval_gpt.py:102-120) into judge triplets — questions carry
+    the region annotation ({"bbox": [[x,y,w,h],...]} or {"points": ...})
+    used for set-of-marks painting, and the phase name drives the
+    [Context] string."""
+    with open(os.path.join(phase_dir, "question.json")) as f:
+        questions = json.load(f)
+    with open(os.path.join(phase_dir, "answer.json")) as f:
+        answers = json.load(f)
+    with open(os.path.join(phase_dir, "prediction.json")) as f:
+        predictions = json.load(f)
+    phase = os.path.basename(os.path.normpath(phase_dir))
+    triplets = []
+    for q, a, p in zip(questions, answers, predictions):
+        triplets.append(
+            {
+                "image_path": q["image"],
+                "dataset_name": q.get("category", phase),
+                "question": q["text"],
+                "answer": a["text"],
+                "prediction": p["text"],
+                "annotation": q.get("annotation"),
+                "context": context_for(phase),
+            }
+        )
+    return triplets
+
+
 def transfer(results: List[dict], question: str = "Describe this masked region in detail.") -> List[dict]:
     """Prediction file -> judge triplets (MDVP-Bench/transfer.py), carrying
     the region annotation (for image markup) and domain context."""

@@ -168,3 +168,34 @@ def test_mdvp_transfer_carries_annotation_and_context():
     assert tri["context"] == "The image is a natural image."
     assert context_for("ocr_chart") is not None
     assert context_for(None) is None
+
+
+MDVP_EVAL_ROOT = "/root/reference/evaluation/MDVP-Bench/mdvp_for_gpt4v_eval"
+
+
+def test_mdvp_gpt4v_eval_dir_loads_reference_format():
+    """Consume the authors' shipped judge-input layout end-to-end: triplets
+    with annotations + context, and the set-of-marks painter accepts the
+    real bbox geometry."""
+    import os
+
+    phase = os.path.join(MDVP_EVAL_ROOT, "natural_detailed_caption_box")
+    if not os.path.isdir(phase):
+        import pytest
+
+        pytest.skip("reference MDVP eval dir not present")
+    import numpy as np
+
+    from grasp_any_region_tpu.evaluation.judges.paint import paint_annotation
+    from grasp_any_region_tpu.evaluation.mdvp import load_gpt4v_eval_dir
+
+    triplets = load_gpt4v_eval_dir(phase)
+    assert len(triplets) == 10
+    tri = triplets[0]
+    assert tri["question"] and tri["answer"] and tri["prediction"]
+    assert tri["context"] == "The image is a natural image."
+    assert tri["annotation"]["bbox"], "natural phase ships bboxes"
+    # paint the real annotation on a synthetic canvas of plausible size
+    img = np.full((720, 1280, 3), 180, np.uint8)
+    out = paint_annotation(img, tri["annotation"])
+    assert out.shape == img.shape and not np.array_equal(out, img)

@@ -152,3 +152,29 @@ def test_packed_loss_runs(rng):
     packed = pack_text_batch(docs, seq_len=32, labels=[d.copy() for d in docs])
     loss = packed_loss_fn(params, cfg, packed, use_flash=False)
     assert np.isfinite(float(loss))
+
+
+def test_packed_loss_sequence_parallel_matches(rng):
+    """Packed rows (block-diagonal segments) through the Ulysses SP path
+    (mesh seq=2, segment ids all-gathered inside the exchange) must produce
+    the single-device loss."""
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.core.mesh import MeshSpec, make_mesh
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.train.step import packed_loss_fn
+
+    cfg = gar_tiny()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    docs = [rng.integers(5, 90, size=n).astype(np.int32) for n in (20, 13, 9, 17)]
+    packed = pack_text_batch(docs, seq_len=32, labels=[d.copy() for d in docs])
+    assert packed.input_ids.shape[1] % 2 == 0
+
+    base = float(packed_loss_fn(params, cfg, packed, use_flash=False))
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=2, tensor=2, seq=2))
+    sp = float(
+        jax.jit(
+            lambda p, b: packed_loss_fn(p, cfg, b, use_flash=False, mesh=mesh)
+        )(params, packed)
+    )
+    np.testing.assert_allclose(sp, base, rtol=1e-4)
