@@ -284,3 +284,42 @@ def test_engine_staggered_admission(rng):
     assert out[r0] == seq_tokens[0]
     assert out[r1] == seq_tokens[1]
     assert out[r2] == seq_tokens[2]
+
+
+def test_engine_eot_early_exit(rng):
+    """A stream that emits <eot> mid-window must stop exactly there (device-
+    side done-freeze), release its slot, and admit the queue's next request;
+    other streams continue to their full budget."""
+    from grasp_any_region_tpu.models.generate import generate
+    from grasp_any_region_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    cfg, params, batches = _tiny_setup(63)
+    max_new = 6
+    # pick an eot id that stream 0 actually emits mid-generation (from the
+    # unconstrained greedy trajectory), making it a real early stop
+    free = generate(params, cfg, batches[0][0], batches[0][1],
+                    max_new_tokens=max_new, eot_id=-1, mask_compat=False,
+                    use_flash=False)
+    toks0 = [int(t) for t in np.asarray(free.tokens)[0]]
+    eot = toks0[2]  # fires at step 2 (0-indexed) for stream 0
+    expected = {}
+    for i, (b, plens) in enumerate(batches):
+        res = generate(params, cfg, b, plens, max_new_tokens=max_new,
+                       eot_id=eot, mask_compat=False, use_flash=False)
+        n = int(np.asarray(res.num_generated)[0])
+        expected[i] = list(np.asarray(res.tokens)[0, :n])
+    assert len(expected[0]) < max_new, "chosen eot must actually fire early"
+
+    ecfg = EngineConfig(
+        slots=2, page_size=16, num_pages=128, max_pages_per_slot=64,
+        max_new_tokens=max_new, eot_id=eot, mask_compat=False,
+        decode_chunk=max_new,
+    )
+    eng = ContinuousBatchingEngine(params, cfg, ecfg, dtype=jnp.float32)
+    ids = {}
+    for i, (b, plens) in enumerate(batches):  # 3 requests, 2 slots
+        ids[eng.submit(b, int(np.asarray(plens)[0]))] = i
+    out = eng.run()
+    assert len(out) == 3
+    for rid, toks in out.items():
+        assert toks == expected[ids[rid]], (ids[rid], toks, expected[ids[rid]])
