@@ -131,3 +131,28 @@ def test_loss_decreases_under_training():
         state, m = step(state, batch, labels)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_sanitize_spec_degrades_odd_factorizations():
+    """Sharding rules must degrade to replication (not crash) when a mesh
+    axis does not divide the dimension — e.g. fsdp=3 over a 64-wide tiny
+    model (the n=6 dryrun mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    from grasp_any_region_tpu.core.mesh import MeshSpec, make_mesh
+    from grasp_any_region_tpu.parallel.sharding import sanitize_spec
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=3, tensor=2, seq=1),
+                     devices=jax.devices()[:6])
+    # 64 % 3 != 0 -> fsdp axis dropped; 64 % 2 == 0 -> tensor kept
+    spec = sanitize_spec(P(None, "fsdp", "tensor"), (2, 64, 64), mesh)
+    assert spec == P(None, None, "tensor")
+    # tuple axes: (data, fsdp) product 3 does not divide 64
+    spec = sanitize_spec(P(("data", "fsdp"), None), (64, 8), mesh)
+    assert spec == P(None, None)
+    # dividing case unchanged
+    spec = sanitize_spec(P("tensor", None), (64, 8), mesh)
+    assert spec == P("tensor", None)
+    # short spec vs longer shape pads with None
+    spec = sanitize_spec(P("fsdp"), (64,), mesh)
+    assert spec == P(None)
