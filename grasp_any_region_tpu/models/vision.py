@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..core.config import VisionConfig
 from ..ops.attention import mha
 from ..ops.norms import layer_norm
-from ..ops.vit_attention import vit_attention
+from ..ops.vit_attention import vit_attention, vit_attention_df
 from ..ops.rope import (
     apply_rope_2d_tshd,
     axial_rope_angles,
@@ -119,7 +119,8 @@ def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.nda
     on_tpu = jax.default_backend() == "tpu"
     if use_flash is not False and on_tpu and s <= 2048:
         # fused single-pass kernel: whole (S, S) logits block lives in VMEM
-        attn = vit_attention(q, k, v)
+        # (custom_vjp wrapper — training differentiates through this path)
+        attn = vit_attention_df(q, k, v)
     else:
         attn = mha(q, k, v, causal=False, use_flash=use_flash)
     attn = attn.reshape(t, s, d) @ bp["wo"].astype(x.dtype) + bp["bo"].astype(x.dtype)

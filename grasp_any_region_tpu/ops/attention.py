@@ -122,14 +122,15 @@ def mha(
         on_tpu = jax.default_backend() == "tpu"
         use_flash = on_tpu and sq >= 1024 and flash_safe
     if use_flash and flash_safe:
-        from .flash_attention import flash_attention
+        # the _df wrapper adds a reference-backward custom_vjp so training
+        # paths can differentiate through the Pallas kernel; identical to
+        # flash_attention when no gradients flow
+        from .flash_attention import flash_attention_df
 
         flash_segs = None
         if segment_ids is not None and not (causal and right_padded):
             flash_segs = segment_ids
-        return flash_attention(
-            q, k, v, causal=causal, scale=scale, segment_ids=flash_segs
-        )
+        return flash_attention_df(q, k, v, causal, flash_segs, scale)
     return mha_reference(
         q, k, v, causal=causal, segment_ids=segment_ids, scale=scale
     )

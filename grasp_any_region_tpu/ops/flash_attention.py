@@ -216,3 +216,42 @@ def flash_attention(
 
     out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def flash_attention_df(q, k, v, causal, segment_ids, scale):
+    """Differentiable flash attention: Pallas forward, XLA-reference
+    backward (pallas_call has no automatic VJP — training paths that hit
+    the kernel otherwise die with 'Linearization failed'; caught by the
+    round-2 on-chip train smoke).
+
+    segment_ids rides as a DIFFERENTIABLE-slot arg (it's int — tangent is
+    symbolically zero) so it can stay a traced array; causal/scale are
+    static. The reference backward materializes (B, H, Sq, Sk) logits per
+    remat block — fine to ~4k tokens; a flash backward kernel is the
+    long-context follow-up (docs/ROADMAP.md)."""
+    return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids,
+                           scale=scale)
+
+
+def _flash_df_fwd(q, k, v, causal, segment_ids, scale):
+    out = flash_attention(q, k, v, causal=causal, segment_ids=segment_ids,
+                          scale=scale)
+    return out, (q, k, v, segment_ids)
+
+
+def _flash_df_bwd(causal, scale, res, g):
+    from .attention import mha_reference
+
+    q, k, v, segment_ids = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: mha_reference(
+            q, k, v, causal=causal, segment_ids=segment_ids, scale=scale
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention_df.defvjp(_flash_df_fwd, _flash_df_bwd)

@@ -41,6 +41,32 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int,
     ).astype(o_ref.dtype)
 
 
+@jax.custom_vjp
+def vit_attention_df(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable wrapper: Pallas forward, XLA-reference backward.
+
+    pallas_call has no automatic VJP — without this, any training path that
+    reaches the fused kernel on TPU dies with 'Linearization failed'
+    (caught by the round-2 on-chip train-CLI smoke; the CPU suite never
+    sees it because CPU dispatches to mha)."""
+    return vit_attention(q, k, v)
+
+
+def _vit_attn_fwd(q, k, v):
+    return vit_attention(q, k, v), (q, k, v)
+
+
+def _vit_attn_bwd(res, g):
+    from .attention import mha_reference
+
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: mha_reference(q, k, v, causal=False), q, k, v)
+    return vjp(g)
+
+
+vit_attention_df.defvjp(_vit_attn_fwd, _vit_attn_bwd)
+
+
 def vit_attention(
     q: jnp.ndarray,  # (T, S, H, D)
     k: jnp.ndarray,  # (T, S, H, D)  (no GQA in the vision tower)

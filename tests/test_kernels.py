@@ -183,3 +183,35 @@ def test_int8_decode_weights_close_to_bf16(rng):
     err = np.abs(np.asarray(h_q8) - np.asarray(h_ref)).max()
     ref_mag = np.abs(np.asarray(h_ref)).max()
     assert err < 0.05 * ref_mag, (err, ref_mag)
+
+
+def test_vit_attention_df_grads_match_reference(rng):
+    """custom_vjp wrapper: kernel forward (interpret) + reference backward
+    must reproduce the XLA attention gradients (the on-chip train path
+    differentiates through this — round-2 regression for the
+    'Linearization failed' bug)."""
+    import grasp_any_region_tpu.ops.vit_attention as VA
+    from grasp_any_region_tpu.ops.attention import mha_reference
+
+    t, s, h, d = 2, 64, 2, 32
+    q = jnp.asarray(rng.standard_normal((t, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((t, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, s, h, d)), jnp.float32)
+
+    orig = VA.vit_attention
+    VA.vit_attention = lambda q, k, v, **kw: orig(q, k, v, **kw) \
+        if jax.default_backend() == "tpu" else mha_reference(q, k, v, causal=False)
+    try:
+        def loss_df(q, k, v):
+            return jnp.sum(VA.vit_attention_df(q, k, v) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, causal=False) ** 2)
+
+        g_df = jax.grad(loss_df, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(g_df, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        VA.vit_attention = orig
