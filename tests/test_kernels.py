@@ -215,3 +215,39 @@ def test_vit_attention_df_grads_match_reference(rng):
                                        rtol=1e-4, atol=1e-4)
     finally:
         VA.vit_attention = orig
+
+
+def test_flash_attention_df_grads_match_reference(rng):
+    """flash_attention_df custom_vjp (training path through the flash
+    kernel): reference backward incl. the int segment_ids slot."""
+    import grasp_any_region_tpu.ops.flash_attention as FA
+    from grasp_any_region_tpu.ops.attention import mha_reference
+
+    b, s, h, kh, d = 1, 96, 2, 1, 32
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
+    seg = jnp.asarray((np.arange(s)[None] < 70).astype(np.int32))
+
+    orig = FA.flash_attention
+    FA.flash_attention = (
+        lambda q, k, v, causal=True, segment_ids=None, scale=None, **kw:
+        mha_reference(q, k, v, causal=causal, segment_ids=segment_ids,
+                      scale=scale)
+    )
+    try:
+        def loss_df(q, k, v):
+            return jnp.sum(FA.flash_attention_df(q, k, v, True, seg, None) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                mha_reference(q, k, v, causal=True, segment_ids=seg) ** 2
+            )
+
+        gd = jax.grad(loss_df, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(gd, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        FA.flash_attention = orig
