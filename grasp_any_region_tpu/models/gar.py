@@ -171,12 +171,19 @@ def build_prefill_embeds(
     remat: bool = False,
     compute_dtype=jnp.bfloat16,
     video_mode: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Token embeds + media scatter + feature replay -> (B, S, Dt).
 
     video_mode: pixel_values rows are FRAMES (no thumbnail), placeholders use
     video_token_id, and replay samples each region's own frame
     (batch.replay_tile) instead of the merged tile grid.
+
+    mesh: when given, the tile features are constrained to batch-only
+    sharding before the replay gather — the gather's indices are
+    data-dependent, and without the explicit constraint GSPMD falls back to
+    'involuntary full rematerialization' resharding (observed in
+    MULTICHIP_r02.json) when the producer is tensor/seq-sharded.
     """
     b, t = batch.pixel_values.shape[:2]
     pix = batch.pixel_values.reshape((b * t,) + batch.pixel_values.shape[2:])
@@ -186,6 +193,12 @@ def build_prefill_embeds(
         mask_compat=mask_compat, remat=remat, compute_dtype=compute_dtype,
     )  # (B*T, tok, Dt)
     feats = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        feats = jax.lax.with_sharding_constraint(
+            feats, NamedSharding(mesh, P(("data", "fsdp"), None, None, None))
+        )
 
     tok_embeds = embed_tokens(params["llm"], batch.input_ids, compute_dtype)
 
@@ -223,16 +236,26 @@ def gar_prefill(
     compute_dtype=jnp.bfloat16,
     use_flash: Optional[bool] = None,
     video_mode: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Full multimodal prefill. Returns (hidden (B,S,D), (k,v) per layer)."""
+    """Full multimodal prefill. Returns (hidden (B,S,D), (k,v) per layer)).
+
+    mesh: enables multi-chip inference — tensor-parallel weights (GSPMD
+    propagates from params sharded per parallel/sharding.py), explicit
+    replay-gather constraints, and Ulysses/ring sequence parallelism when
+    the mesh has seq > 1 (llama_prefill dispatch). The reference exposes
+    TP/PP only on its vLLM judge (serve_judge.sh:6-7); here the GAR model
+    itself shards over ICI (BASELINE north star)."""
     embeds = build_prefill_embeds(
         params, cfg, batch,
         mask_compat=mask_compat, double_scale_compat=double_scale_compat,
         remat=remat, compute_dtype=compute_dtype, video_mode=video_mode,
+        mesh=mesh,
     )
     return llama_prefill(
         params["llm"], cfg.text, embeds, batch.positions,
         segment_ids=batch.segment_ids, remat=remat, use_flash=use_flash,
+        mesh=mesh,
     )
 
 
@@ -244,11 +267,17 @@ def gar_decode_step(
     prompt_pad: int,
     *,
     compute_dtype=jnp.bfloat16,
+    use_kernel: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One decode step. Returns (logits (B, V), new cache)."""
+    """One decode step. Returns (logits (B, V), new cache).
+
+    use_kernel=False forces the plain-XLA step — required under a
+    multi-chip mesh, where GSPMD partitions the einsum path but cannot
+    partition the single-chip Pallas megakernels."""
     embeds = embed_tokens(params["llm"], token_ids[:, None], compute_dtype)
     hidden, cache = llama_decode_step(
-        params["llm"], cfg.text, embeds, cache, prompt_pad
+        params["llm"], cfg.text, embeds, cache, prompt_pad,
+        use_kernel=use_kernel,
     )
     logits = lm_logits(
         params["llm"], cfg.text, hidden[:, 0], valid_vocab=cfg.extended_vocab_size

@@ -44,6 +44,7 @@ def _sample(logits: jnp.ndarray, rng: Optional[jax.Array], temperature: float) -
         "double_scale_compat",
         "use_flash",
         "video_mode",
+        "mesh",
     ),
 )
 def generate(
@@ -61,12 +62,24 @@ def generate(
     double_scale_compat: bool = True,
     use_flash: Optional[bool] = None,
     video_mode: bool = False,
+    mesh=None,
 ) -> GenerationResult:
+    """mesh (static): multi-chip inference. Weights follow their
+    parallel/sharding.py placement (device_put them with shard_params
+    before calling); the KV cache is constrained kv-head-sharded on
+    'tensor' so every decode step stays partitioned instead of gathering.
+    Token-for-token parity with the single-device path is asserted by
+    tests/test_tp_inference.py on the virtual CPU mesh."""
     b, s = batch.input_ids.shape
+    if mesh is not None and mesh.size > 1 and mesh.shape.get("seq", 1) == 1:
+        # non-SP multi-chip: attention is partitioned by GSPMD, which cannot
+        # see inside a pallas_call — use the XLA path (SP instead wraps the
+        # kernel in shard_map, where per-shard Pallas is legal)
+        use_flash = False
     hidden, kv = gar_prefill(
         params, cfg, batch,
         mask_compat=mask_compat, double_scale_compat=double_scale_compat,
-        use_flash=use_flash, video_mode=video_mode,
+        use_flash=use_flash, video_mode=video_mode, mesh=mesh,
     )
     last_hidden = hidden[jnp.arange(b), prompt_lens - 1]  # (B, D)
     logits0 = lm_logits(
@@ -78,6 +91,21 @@ def generate(
     # cache columns rounded up so the decode kernel's block size divides them
     max_len = ((s + max_new_tokens + 511) // 512) * 512
     cache = seed_cache_from_prefill(cfg, kv, prompt_lens, max_len)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import sanitize_spec
+
+        # (L, B, K, S, D): batch over data/fsdp, kv heads over tensor
+        kv_spec = sanitize_spec(
+            P(None, ("data", "fsdp"), "tensor", None, None),
+            cache.k.shape, mesh,
+        )
+        shard = NamedSharding(mesh, kv_spec)
+        cache = cache._replace(
+            k=jax.lax.with_sharding_constraint(cache.k, shard),
+            v=jax.lax.with_sharding_constraint(cache.v, shard),
+        )
 
     class State(NamedTuple):
         cache: KVCache
@@ -102,7 +130,12 @@ def generate(
         return (st.step < max_new_tokens) & (~jnp.all(st.done))
 
     def body(st: State):
-        logits, cache = gar_decode_step(params, cfg, st.cur, st.cache, s)
+        logits, cache = gar_decode_step(
+            params, cfg, st.cur, st.cache, s,
+            # Pallas megakernels are single-chip; GSPMD partitions the XLA
+            # step across the mesh instead
+            use_kernel=False if mesh is not None else None,
+        )
         key, sub = jax.random.split(st.rng)
         nxt = _sample(logits, sub, temperature)
         nxt = jnp.where(st.done, pad_id, nxt)

@@ -49,11 +49,15 @@ def _flash_kernel(
     kv_valid: int,
     q_offset: int,
     segments: bool,
+    with_lse: bool,
 ):
+    refs = list(refs)
     if segments:
-        qseg_ref, kseg_ref, o_ref, acc_ref, m_ref, l_ref = refs
-    else:
-        o_ref, acc_ref, m_ref, l_ref = refs
+        qseg_ref, kseg_ref = refs[:2]
+        refs = refs[2:]
+    o_ref = refs[0]
+    lse_ref = refs[1] if with_lse else None
+    acc_ref, m_ref, l_ref = refs[-3:]
     qi = pl.program_id(1)
     q = q_ref[:].astype(jnp.float32) * scale
 
@@ -115,6 +119,14 @@ def _flash_kernel(
 
     jax.lax.fori_loop(0, num_k, body, 0)
     o_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(o_ref.dtype)
+    if with_lse:
+        # log-sum-exp of the SCALED logits per q row — the residual the
+        # FA-2 backward recomputes p from (ops/flash_backward.py). Stored
+        # (1, BQ): Mosaic requires the last two block dims be (8,128)-
+        # divisible or equal to the array dims, so rows ride a size-1 axis.
+        lse_ref[:] = (
+            m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-30))
+        ).reshape(1, -1)
 
 
 def flash_attention(
@@ -128,11 +140,16 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     """segment_ids enables packed multi-document rows (block-diagonal mask,
     the reference's unused varlen path, custom_collect_fn.py:96-106):
     self-attention only (Sq == Sk), token i attends token j iff causal AND
-    segment_ids[b,i] == segment_ids[b,j]. Padding (id 0) attends only padding."""
+    segment_ids[b,i] == segment_ids[b,j]. Padding (id 0) attends only padding.
+
+    return_lse=True additionally returns the per-row log-sum-exp of the
+    scaled logits, shape (B, H, Sq) fp32 — the residual for the Pallas
+    FA-2 backward (ops/flash_backward.py)."""
     b, sq, h, d = q.shape
     _, sk, kh, _ = k.shape
     assert h % kh == 0
@@ -183,6 +200,7 @@ def flash_attention(
         kv_valid=sk,
         q_offset=q_offset,
         segments=segment_ids is not None,
+        with_lse=return_lse,
     )
 
     grid = (b * h, sq_p // block_q)
@@ -200,12 +218,20 @@ def flash_attention(
         ]
         operands += [qseg, kseg]
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype)]
+    if return_lse:
+        out_specs.append(
+            pl.BlockSpec((None, 1, block_q), lambda bh, qi: (bh, 0, qi))
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b * h, 1, sq_p), jnp.float32))
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shapes if return_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -214,36 +240,56 @@ def flash_attention(
         interpret=interpret,
     )(*operands)
 
-    out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
-    return out[:, :sq]
+    out = res[0] if return_lse else res
+    out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)[:, :sq]
+    if return_lse:
+        lse = res[1].reshape(b, h, sq_p)[:, :, :sq]
+        return out, lse
+    return out
+
+
+# backward implementation selector: "pallas" = FA-2 backward kernels
+# (ops/flash_backward.py, O(S) memory — required for the reference's 16k
+# training context, configs/gar_1b.py:28); "xla" = differentiate the XLA
+# reference (materializes (B, H, Sq, Sk) logits; kept for validation)
+BACKWARD_IMPL = "pallas"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
 def flash_attention_df(q, k, v, causal, segment_ids, scale):
-    """Differentiable flash attention: Pallas forward, XLA-reference
-    backward (pallas_call has no automatic VJP — training paths that hit
-    the kernel otherwise die with 'Linearization failed'; caught by the
-    round-2 on-chip train smoke).
+    """Differentiable flash attention: Pallas forward + Pallas FA-2 backward
+    (pallas_call has no automatic VJP — training paths that hit the kernel
+    otherwise die with 'Linearization failed'; caught by the round-2 on-chip
+    train smoke).
 
     segment_ids rides as a DIFFERENTIABLE-slot arg (it's int — tangent is
     symbolically zero) so it can stay a traced array; causal/scale are
-    static. The reference backward materializes (B, H, Sq, Sk) logits per
-    remat block — fine to ~4k tokens; a flash backward kernel is the
-    long-context follow-up (docs/ROADMAP.md)."""
+    static."""
     return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids,
                            scale=scale)
 
 
 def _flash_df_fwd(q, k, v, causal, segment_ids, scale):
-    out = flash_attention(q, k, v, causal=causal, segment_ids=segment_ids,
-                          scale=scale)
-    return out, (q, k, v, segment_ids)
+    out, lse = flash_attention(q, k, v, causal=causal,
+                               segment_ids=segment_ids, scale=scale,
+                               return_lse=True)
+    return out, (q, k, v, out, lse, segment_ids)
 
 
 def _flash_df_bwd(causal, scale, res, g):
+    q, k, v, out, lse, segment_ids = res
+    if BACKWARD_IMPL == "pallas":
+        from .flash_backward import flash_attention_bwd
+
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, out, lse, g,
+            causal=causal, segment_ids=segment_ids, scale=scale,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return dq, dk, dv, None
+
     from .attention import mha_reference
 
-    q, k, v, segment_ids = res
     _, vjp = jax.vjp(
         lambda q, k, v: mha_reference(
             q, k, v, causal=causal, segment_ids=segment_ids, scale=scale

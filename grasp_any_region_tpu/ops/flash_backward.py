@@ -1,0 +1,374 @@
+"""Pallas TPU FlashAttention-2 BACKWARD (causal + GQA + segment ids).
+
+Completes the replacement of the reference's flash-attn 2.7.4 CUDA
+dependency (requirements.txt:2): the reference TRAINS with flash attention
+at max_length=16384 (projects/grasp_any_region/configs/gar_1b.py:28), which
+requires a backward that never materializes the (B, H, Sq, Sk) logits.
+Until round 3 our custom_vjp backward was the XLA reference — exact but
+O(S^2) memory per remat block, capping trainable context well below 16k.
+
+Algorithm (FA-2 backward, written from the paper's recurrences):
+  forward saves per-row LSE = logsumexp(scale * q k^T) (flash_attention
+  return_lse=True). Backward precomputes delta = rowsum(dO * O) in XLA
+  (elementwise, cheap), then two kernels recompute the probability blocks
+  p = exp(s - lse) on the fly:
+
+    dq kernel   grid (B*H, Sq/BQ): stream K blocks per q block,
+                dq  = scale * sum_k  ds @ K,        ds = p * (dO V^T - delta)
+    dk/dv kernel grid (B*H, Sk/BK): stream Q blocks per k block,
+                dv += p^T dO
+                dk += ds^T (scale * Q)
+
+  GQA: both kernels run per Q head (kv blocks index-mapped h -> h//group,
+  like the forward); dk/dv come out per q-head (B, H, Sk, D) fp32 and are
+  group-summed in XLA — 3 lines instead of in-kernel cross-program
+  accumulation, and the transient is small relative to activations.
+
+TPU notes:
+  * K/V (dq kernel) and Q/dO (dkv kernel) for one head live fully in VMEM,
+    like the forward (S<=16k x D<=128 bf16 <= 4 MB each); the inner
+    fori_loop prunes blocks outside the causal band from BOTH directions
+    (dq: upper bound; dkv: lower bound).
+  * LSE/delta ride as (B*H, S) fp32 rows with 1D (block,) blocks — the
+    same layout jax's own TPU flash kernel uses.
+  * masked positions zero p explicitly (exp(s - lse) at a fully-masked row
+    would otherwise produce garbage from the lse clamp).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mask_block(
+    qi_start: int | jnp.ndarray,
+    ki_start: jnp.ndarray,
+    block_q: int,
+    block_k: int,
+    *,
+    causal: bool,
+    kv_valid: int,
+    sk_pad: int,
+    q_offset: int,
+    qseg=None,
+    kseg=None,
+):
+    """(BQ, BK) bool validity mask for one logits block; None if all-valid."""
+    need_tail = kv_valid < sk_pad
+    if not (causal or need_tail or qseg is not None):
+        return None
+    k_ids = ki_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    ok = k_ids < kv_valid
+    if causal:
+        q_ids = (
+            qi_start
+            + q_offset
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        )
+        ok = ok & (q_ids >= k_ids)
+    if qseg is not None:
+        ok = ok & (qseg == kseg)
+    return ok
+
+
+def _dq_kernel(
+    q_ref,      # (BQ, D)
+    k_ref,      # (Sk_pad, D) whole kv head
+    v_ref,      # (Sk_pad, D)
+    do_ref,     # (BQ, D)
+    lse_ref,    # (1, BQ)
+    delta_ref,  # (1, BQ)
+    *refs,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    sk_pad: int,
+    kv_valid: int,
+    q_offset: int,
+    segments: bool,
+):
+    if segments:
+        qseg_ref, kseg_ref, dq_ref, acc_ref = refs
+    else:
+        dq_ref, acc_ref = refs
+    qi = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * scale
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[0, :].reshape(block_q, 1)
+    delta = delta_ref[0, :].reshape(block_q, 1)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = qi * block_q
+    if causal:
+        num_k = (q_start + q_offset + block_q - 1) // block_k + 1
+        num_k = jnp.minimum(num_k, pl.cdiv(sk_pad, block_k))
+    else:
+        num_k = pl.cdiv(sk_pad, block_k)
+
+    def body(ki, _):
+        k_blk = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp(s - lse)
+        ok = _mask_block(
+            q_start, ki * block_k, block_q, block_k,
+            causal=causal, kv_valid=kv_valid, sk_pad=sk_pad,
+            q_offset=q_offset,
+            qseg=qseg_ref[:] if segments else None,
+            kseg=kseg_ref[:, pl.ds(ki * block_k, block_k)] if segments else None,
+        )
+        if ok is not None:
+            p = jnp.where(ok, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, num_k, body, 0)
+    dq_ref[:] = acc_ref[:] * scale
+
+
+def _dkv_kernel(
+    q_ref,      # (Sq_pad, D) whole q head
+    do_ref,     # (Sq_pad, D)
+    k_ref,      # (BK, D)
+    v_ref,      # (BK, D)
+    lse_ref,    # (1, Sq_pad)
+    delta_ref,  # (1, Sq_pad)
+    *refs,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    sq_pad: int,
+    sk_pad: int,
+    kv_valid: int,
+    q_offset: int,
+    segments: bool,
+):
+    if segments:
+        qseg_ref, kseg_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc = refs
+    ki = pl.program_id(1)
+    k_start = ki * block_k
+    k_blk = k_ref[:].astype(jnp.float32)
+    v_blk = v_ref[:].astype(jnp.float32)
+    dk_acc[:] = jnp.zeros_like(dk_acc)
+    dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    num_q = sq_pad // block_q
+    if causal:
+        # first q block whose LAST row can see k_start:
+        # local q row j attends key k iff j + q_offset >= k
+        qi_lo = jnp.maximum(0, (k_start - q_offset) // block_q)
+    else:
+        qi_lo = 0
+
+    def body(qi, _):
+        q_blk = (
+            q_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32) * scale
+        )
+        do_blk = do_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q)].reshape(block_q, 1)
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q)].reshape(block_q, 1)
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        p = jnp.exp(s - lse)
+        ok = _mask_block(
+            qi * block_q, k_start, block_q, block_k,
+            causal=causal, kv_valid=kv_valid, sk_pad=sk_pad,
+            q_offset=q_offset,
+            qseg=qseg_ref[pl.ds(qi * block_q, block_q), :] if segments else None,
+            kseg=kseg_ref[:] if segments else None,
+        )
+        if ok is not None:
+            p = jnp.where(ok, p, 0.0)
+        dv_acc[:] += jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D)
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D); q_blk is pre-scaled => dk already includes scale
+        return 0
+
+    jax.lax.fori_loop(qi_lo, num_q, body, 0)
+    dk_ref[:] = dk_acc[:]
+    dv_ref[:] = dv_acc[:]
+
+
+def flash_attention_bwd(
+    q: jnp.ndarray,    # (B, Sq, H, D)
+    k: jnp.ndarray,    # (B, Sk, K, D)
+    v: jnp.ndarray,
+    out: jnp.ndarray,  # (B, Sq, H, D) forward output
+    lse: jnp.ndarray,  # (B, H, Sq) fp32 from flash_attention(return_lse=True)
+    g: jnp.ndarray,    # (B, Sq, H, D) output cotangent
+    *,
+    causal: bool = True,
+    segment_ids: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (dq, dk, dv) in the input dtypes. Conventions (masking,
+    right-aligned causal offset, packed segment ids) match flash_attention
+    exactly — the two are a custom_vjp pair."""
+    b, sq, h, d = q.shape
+    _, sk, kh, _ = k.shape
+    assert h % kh == 0
+    group = h // kh
+    if scale is None:
+        scale = d ** -0.5
+    if block_q is None:
+        block_q = 256 if d < 128 else 128
+    if block_k is None:
+        block_k = 512 if d < 128 else 256
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+
+    # delta = rowsum(dO * O): elementwise, XLA fuses it into the pad below
+    delta = jnp.einsum(
+        "bshd,bshd->bhs",
+        g.astype(jnp.float32),
+        out.astype(jnp.float32),
+    )
+
+    pq = (-sq) % block_q
+    pk = (-sk) % block_k
+    if pq:
+        padq = ((0, 0), (0, pq), (0, 0), (0, 0))
+        q = jnp.pad(q, padq)
+        g = jnp.pad(g, padq)
+        # pad rows: q == dO == 0 -> s == 0, and lse = 0 makes p finite (=1
+        # on unmasked keys); every contribution multiplies dO == 0 or flows
+        # to the discarded dq rows
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pq)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pq)))
+    if pk:
+        padk = ((0, 0), (0, pk), (0, 0), (0, 0))
+        k = jnp.pad(k, padk)
+        v = jnp.pad(v, padk)
+    sq_p, sk_p = sq + pq, sk + pk
+    if segment_ids is not None:
+        assert sq == sk, "segment_ids requires self-attention (Sq == Sk)"
+        qseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pq)))[:, :, None]
+        kseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+    gh = g.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+    khh = k.transpose(0, 2, 1, 3).reshape(b * kh, sk_p, d)
+    vhh = v.transpose(0, 2, 1, 3).reshape(b * kh, sk_p, d)
+    # per-row fp32 vectors ride a size-1 middle axis so their blocks satisfy
+    # Mosaic's last-two-dims (8,128)-or-full rule
+    lseh = lse.reshape(b * h, 1, sq_p)
+    deltah = delta.reshape(b * h, 1, sq_p)
+
+    q_offset = sk - sq
+    segments = segment_ids is not None
+    common = dict(
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_valid=sk, q_offset=q_offset, segments=segments,
+    )
+
+    # ---- dq ----------------------------------------------------------------
+    dq_in_specs = [
+        pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        pl.BlockSpec((None, sk_p, d), lambda bh, qi, gr=group: (bh // gr, 0, 0)),
+        pl.BlockSpec((None, sk_p, d), lambda bh, qi, gr=group: (bh // gr, 0, 0)),
+        pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        pl.BlockSpec((None, 1, block_q), lambda bh, qi: (bh, 0, qi)),
+        pl.BlockSpec((None, 1, block_q), lambda bh, qi: (bh, 0, qi)),
+    ]
+    dq_operands = [qh, khh, vhh, gh, lseh, deltah]
+    if segments:
+        dq_in_specs += [
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi, h_=h: (bh // h_, qi, 0)),
+            pl.BlockSpec((None, 1, sk_p), lambda bh, qi, h_=h: (bh // h_, 0, 0)),
+        ]
+        dq_operands += [qseg, kseg]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, sk_pad=sk_p, **common),
+        grid=(b * h, sq_p // block_q),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(*dq_operands)
+
+    # ---- dk / dv (per q head; group-summed below) --------------------------
+    dkv_in_specs = [
+        pl.BlockSpec((None, sq_p, d), lambda bh, ki: (bh, 0, 0)),
+        pl.BlockSpec((None, sq_p, d), lambda bh, ki: (bh, 0, 0)),
+        pl.BlockSpec((None, block_k, d), lambda bh, ki, gr=group: (bh // gr, ki, 0)),
+        pl.BlockSpec((None, block_k, d), lambda bh, ki, gr=group: (bh // gr, ki, 0)),
+        pl.BlockSpec((None, 1, sq_p), lambda bh, ki: (bh, 0, 0)),
+        pl.BlockSpec((None, 1, sq_p), lambda bh, ki: (bh, 0, 0)),
+    ]
+    dkv_operands = [qh, gh, khh, vhh, lseh, deltah]
+    if segments:
+        dkv_in_specs += [
+            pl.BlockSpec((None, sq_p, 1), lambda bh, ki, h_=h: (bh // h_, 0, 0)),
+            pl.BlockSpec((None, 1, block_k), lambda bh, ki, h_=h: (bh // h_, 0, ki)),
+        ]
+        dkv_operands += [qseg, kseg]
+
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_dkv_kernel, sq_pad=sq_p, sk_pad=sk_p, **common),
+        grid=(b * h, sk_p // block_k),
+        in_specs=dkv_in_specs,
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda bh, ki: (bh, ki, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, ki: (bh, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*dkv_operands)
+
+    dq = dq.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)[:, :sq].astype(q.dtype)
+    dk = (
+        dk_h.reshape(b, kh, group, sk_p, d).sum(2)
+        .transpose(0, 2, 1, 3)[:, :sk].astype(k.dtype)
+    )
+    dv = (
+        dv_h.reshape(b, kh, group, sk_p, d).sum(2)
+        .transpose(0, 2, 1, 3)[:, :sk].astype(v.dtype)
+    )
+    return dq, dk, dv

@@ -21,7 +21,8 @@ from jax.experimental import pallas as pl
 NEG_INF = -2.0 ** 30
 
 
-def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int, s_pad: int):
+def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *lse_ref,
+                     scale: float, kv_valid: int, s_pad: int):
     q = q_ref[:].astype(jnp.float32) * scale  # (S, D)
     k = k_ref[:]
     s = jax.lax.dot_general(
@@ -39,11 +40,16 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_valid: int,
         p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+    if lse_ref:
+        # (1, S) layout: Mosaic's last-two-dims block rule (see
+        # ops/flash_attention.py with_lse)
+        lse_ref[0][:] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0].reshape(1, -1)
 
 
 @jax.custom_vjp
 def vit_attention_df(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Differentiable wrapper: Pallas forward, XLA-reference backward.
+    """Differentiable wrapper: Pallas forward + Pallas FA-2 backward
+    (ops/flash_backward.py, non-causal single-head-group configuration).
 
     pallas_call has no automatic VJP — without this, any training path that
     reaches the fused kernel on TPU dies with 'Linearization failed'
@@ -53,15 +59,18 @@ def vit_attention_df(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
 
 
 def _vit_attn_fwd(q, k, v):
-    return vit_attention(q, k, v), (q, k, v)
+    out, lse = vit_attention(q, k, v, return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _vit_attn_bwd(res, g):
-    from .attention import mha_reference
+    from .flash_backward import flash_attention_bwd
 
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: mha_reference(q, k, v, causal=False), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return flash_attention_bwd(
+        q, k, v, out, lse, g, causal=False,
+        interpret=jax.default_backend() != "tpu",
+    )
 
 
 vit_attention_df.defvjp(_vit_attn_fwd, _vit_attn_bwd)
@@ -73,7 +82,9 @@ def vit_attention(
     v: jnp.ndarray,
     *,
     scale: Optional[float] = None,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+    interpret: bool = False,
+):
     t, s, h, d = q.shape
     if scale is None:
         scale = d ** -0.5
@@ -92,7 +103,12 @@ def vit_attention(
     kernel = functools.partial(
         _vit_attn_kernel, scale=scale, kv_valid=s, s_pad=s_pad
     )
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((None, s_pad, d), lambda i: (i, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((t * h, s_pad, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((None, 1, s_pad), lambda i: (i, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((t * h, 1, s_pad), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(t * h,),
         in_specs=[
@@ -100,8 +116,13 @@ def vit_attention(
             pl.BlockSpec((None, s_pad, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, s_pad, d), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, s_pad, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((t * h, s_pad, d), q.dtype),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shapes if return_lse else out_shapes[0],
+        interpret=interpret,
     )(qh, kh, vh)
-    out = out.reshape(t, h, s_pad, d).transpose(0, 2, 1, 3)
-    return out[:, :s]
+    out = res[0] if return_lse else res
+    out = out.reshape(t, h, s_pad, d).transpose(0, 2, 1, 3)[:, :s]
+    if return_lse:
+        # flash_attention_bwd takes lse shaped (B, H, Sq)
+        return out, res[1].reshape(t, h, s_pad)[:, :, :s]
+    return out

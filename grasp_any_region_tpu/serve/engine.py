@@ -61,11 +61,12 @@ class EngineConfig:
     use_fused: Optional[bool] = None
     mask_compat: bool = True
     double_scale_compat: bool = True
-    # pipelined-decode sync window: dispatch this many single-step device
-    # calls ahead of the host's token consumption (hides the ~80 ms relay
-    # sync latency; see _run_pipelined). Streams that hit <eot> decode up to
-    # window+1 speculative tokens into their own pages (discarded on host).
-    # 1 = fully synchronous per-token scheduling.
+    # windowed-decode size: decode up to this many tokens for all slots in
+    # ONE device call + ONE host fetch (see _run_pipelined). eot and the
+    # per-slot budget are checked on device — finished slots freeze inside
+    # the window and nothing speculative is ever cached (the while_loop
+    # exits early once every active slot is done). 1 = fully synchronous
+    # per-token scheduling.
     decode_chunk: int = 1
 
 
@@ -104,6 +105,10 @@ class ContinuousBatchingEngine:
         self.slots: List[Optional[_SlotState]] = [None] * ecfg.slots
         self.queue: Deque[Tuple[int, GARBatch, int]] = deque()
         self.finished: Dict[int, List[int]] = {}
+        # StepEvents produced during _admit (tok0 per request, incl. requests
+        # that finish at admission) — drained by step()/_run_pipelined so
+        # streaming consumers see the FULL sequence
+        self._pending_events: List[StepEvent] = []
         self._next_id = 0
 
         @partial(jax.jit, static_argnames=("self_cfg",))
@@ -282,7 +287,11 @@ class ContinuousBatchingEngine:
                 need = self._budget_pages(plen)
                 if budget < need:
                     break
-                sh = (batch.input_ids.shape[1], batch.pixel_values.shape[1])
+                # bucket on EVERY leaf's shape — region count R, tile H/W etc.
+                # all vary per request and concatenate only when equal
+                sh = tuple(
+                    x.shape for x in jax.tree_util.tree_leaves(batch)
+                )
                 if shape0 is None:
                     shape0 = sh
                 elif sh != shape0:
@@ -305,7 +314,14 @@ class ContinuousBatchingEngine:
                     is_leaf=lambda x: x is None,
                 )
             plens = jnp.asarray([g[2] for g in group], jnp.int32)
-            tok0s, kv = self._prefill_fn(self.params, self.cfg, bb, plens)
+            try:
+                tok0s, kv = self._prefill_fn(self.params, self.cfg, bb, plens)
+            except Exception:
+                # release the group's pages — a long-lived server must not
+                # leak pool capacity on a failed prefill
+                for _, _, _, pages in group:
+                    self.allocator.release(pages)
+                raise
             ks, vs = kv  # (L, G, S, K, D)
             tok0s = np.asarray(tok0s)
             for i, (rid, _, plen, pages) in enumerate(group):
@@ -324,7 +340,9 @@ class ContinuousBatchingEngine:
                     request_id=rid, pages=pages, tokens=[tok0]
                 )
                 self.active[slot] = True
-                if tok0 == self.ecfg.eot_id or self.ecfg.max_new_tokens == 1:
+                done0 = tok0 == self.ecfg.eot_id or self.ecfg.max_new_tokens == 1
+                self._pending_events.append(StepEvent(rid, tok0, done0))
+                if done0:
                     self._retire(slot)
 
     def _retire(self, slot: int) -> None:
@@ -340,15 +358,15 @@ class ContinuousBatchingEngine:
 
     def step(self) -> List[StepEvent]:
         self._admit()
+        events, self._pending_events = self._pending_events, []
         if not self.active.any():
-            return []
+            return events
         nxt, _, self.k_pool, self.v_pool = self._decode_fn(
             self.params, self.k_pool, self.v_pool,
             jnp.asarray(self.cur), jnp.asarray(self.block_table),
             jnp.asarray(self.seq_lens), jnp.asarray(self.active),
         )
         nxt = np.asarray(nxt)
-        events: List[StepEvent] = []
         for slot in range(self.ecfg.slots):
             if not self.active[slot]:
                 continue
@@ -381,6 +399,10 @@ class ContinuousBatchingEngine:
         e = self.ecfg
         while self.has_work():
             self._admit()
+            if on_event is not None:
+                for ev in self._pending_events:
+                    on_event(ev)
+            self._pending_events = []
             if not self.active.any():
                 if self.queue:
                     rid, _, plen = self.queue[0]

@@ -186,10 +186,11 @@ def test_int8_decode_weights_close_to_bf16(rng):
 
 
 def test_vit_attention_df_grads_match_reference(rng):
-    """custom_vjp wrapper: kernel forward (interpret) + reference backward
-    must reproduce the XLA attention gradients (the on-chip train path
-    differentiates through this — round-2 regression for the
-    'Linearization failed' bug)."""
+    """custom_vjp wrapper: Pallas forward + Pallas FA-2 backward (both in
+    interpret mode) must reproduce the XLA attention gradients (the on-chip
+    train path differentiates through this — round-2 regression for the
+    'Linearization failed' bug; round-3 swapped the backward from the XLA
+    reference to ops/flash_backward.py)."""
     import grasp_any_region_tpu.ops.vit_attention as VA
     from grasp_any_region_tpu.ops.attention import mha_reference
 
@@ -199,8 +200,7 @@ def test_vit_attention_df_grads_match_reference(rng):
     v = jnp.asarray(rng.standard_normal((t, s, h, d)), jnp.float32)
 
     orig = VA.vit_attention
-    VA.vit_attention = lambda q, k, v, **kw: orig(q, k, v, **kw) \
-        if jax.default_backend() == "tpu" else mha_reference(q, k, v, causal=False)
+    VA.vit_attention = lambda q, k, v, **kw: orig(q, k, v, interpret=True, **kw)
     try:
         def loss_df(q, k, v):
             return jnp.sum(VA.vit_attention_df(q, k, v) ** 2)
@@ -212,7 +212,7 @@ def test_vit_attention_df_grads_match_reference(rng):
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, r in zip(g_df, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
-                                       rtol=1e-4, atol=1e-4)
+                                       rtol=1e-3, atol=1e-4)
     finally:
         VA.vit_attention = orig
 

@@ -323,3 +323,32 @@ def test_engine_eot_early_exit(rng):
     assert len(out) == 3
     for rid, toks in out.items():
         assert toks == expected[ids[rid]], (ids[rid], toks, expected[ids[rid]])
+
+
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_engine_events_stream_full_sequence(rng, chunk):
+    """StepEvents must reconstruct every request's FULL token list —
+    including tok0 (sampled at admission) and requests that finish AT
+    admission (max_new_tokens cut or eot as the first token). Streaming
+    consumers (cli/gar_serve.py) build captions solely from events."""
+    from grasp_any_region_tpu.serve.engine import (
+        ContinuousBatchingEngine, EngineConfig)
+
+    cfg, params, batches = _tiny_setup(91)
+    for max_new in (1, 5):  # 1 = every request finishes at admission
+        ecfg = EngineConfig(
+            slots=2, page_size=16, num_pages=128, max_pages_per_slot=64,
+            max_new_tokens=max_new, eot_id=-1, mask_compat=False,
+            decode_chunk=chunk,
+        )
+        eng = ContinuousBatchingEngine(params, cfg, ecfg, dtype=jnp.float32)
+        for b, plens in batches:
+            eng.submit(b, int(np.asarray(plens)[0]))
+        streamed: dict = {}
+        dones: dict = {}
+        def on_event(ev):
+            streamed.setdefault(ev.request_id, []).append(ev.token)
+            dones[ev.request_id] = ev.done
+        out = eng.run(on_event)
+        assert streamed == out, (max_new, streamed, out)
+        assert all(dones.values())

@@ -87,3 +87,103 @@ def test_vit_attention_compiles_and_matches():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_flash_backward_compiles_and_matches():
+    """The FA-2 backward kernels (ops/flash_backward.py) compiled on chip:
+    grads of sum(flash^2) vs differentiating the XLA reference (round-3
+    headline — the reference trains at 16k context with flash-attn's
+    backward, configs/gar_1b.py:28)."""
+    import grasp_any_region_tpu.ops.flash_attention as FA
+    from grasp_any_region_tpu.ops.attention import mha_reference
+
+    rng = np.random.default_rng(3)
+    b, s, h, kh, d = 1, 2048, 8, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(FA.flash_attention_df(q, k, v, True, None, None)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True)
+                       .astype(jnp.float32) ** 2)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    refs = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, e in zip("dq dk dv".split(), grads, refs):
+        a = np.asarray(a, np.float32)
+        e = np.asarray(e, np.float32)
+        # bf16 inputs; compare with a scale-relative tolerance
+        tol = 3e-2 * max(1.0, float(np.abs(e).max()))
+        np.testing.assert_allclose(a, e, atol=tol, err_msg=name)
+
+
+def test_vit_backward_compiles_and_matches():
+    from grasp_any_region_tpu.ops.attention import mha_reference
+    from grasp_any_region_tpu.ops.vit_attention import vit_attention_df
+
+    rng = np.random.default_rng(4)
+    t, s, h, d = 2, 1025, 4, 64
+    q = jnp.asarray(rng.standard_normal((t, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((t, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((t, s, h, d)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(vit_attention_df(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=False)
+                       .astype(jnp.float32) ** 2)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    refs = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, e in zip("dq dk dv".split(), grads, refs):
+        a = np.asarray(a, np.float32)
+        e = np.asarray(e, np.float32)
+        tol = 3e-2 * max(1.0, float(np.abs(e).max()))
+        np.testing.assert_allclose(a, e, atol=tol, err_msg=name)
+
+
+def test_paged_attention_kernel_compiles_and_matches():
+    """The Pallas paged-attention kernel compiled on chip vs the XLA gather
+    fallback (round-2 gap: only 3 kernels had compiled coverage)."""
+    from grasp_any_region_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_reference)
+
+    rng = np.random.default_rng(5)
+    slots, kh, h, d = 4, 2, 8, 64
+    page, npages, mp = 64, 64, 8
+    k_pages = jnp.asarray(rng.standard_normal((kh, npages, page, d)), jnp.bfloat16)
+    v_pages = jnp.asarray(rng.standard_normal((kh, npages, page, d)), jnp.bfloat16)
+    bt = jnp.asarray(rng.integers(1, npages, (slots, mp)), jnp.int32)
+    lens = jnp.asarray([100, 300, 57, 512], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((slots, h, d)), jnp.bfloat16)
+    out = jax.jit(paged_attention)(q, k_pages, v_pages, bt, lens)
+    ref = jax.jit(paged_attention_reference)(q, k_pages, v_pages, bt, lens)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_int8_layer_matmul_compiles_and_matches():
+    from grasp_any_region_tpu.models.quantize import quantize_int8
+    from grasp_any_region_tpu.ops.layer_matmul import layer_matmul_q8
+
+    rng = np.random.default_rng(6)
+    l, m, kdim, n = 4, 8, 256, 512
+    w = jnp.asarray(rng.standard_normal((l, kdim, n)), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((m, kdim)), jnp.bfloat16)
+    wq, sc = quantize_int8(w)
+    li = jnp.asarray(2, jnp.int32)
+    out = jax.jit(
+        lambda x, wq, sc: layer_matmul_q8(x, wq, sc, li)
+    )(x, wq, sc)
+    ref = x.astype(jnp.float32) @ w[2].astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=8e-2 * float(np.abs(np.asarray(ref)).max()), rtol=0,
+    )
