@@ -343,6 +343,93 @@ def llama_decode_step_fused(
     )
 
 
+def llama_decode_step_mega(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, 1, D)
+    cache: KVCache,
+    prompt_pad: int,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Decode step in 3 Pallas calls per layer (ops/decode_megakernel.py):
+    norm+qkv+rope / cache-append+attention+wo+residual / norm+mlp+residual.
+    Zero XLA ops inside the layer loop — the rope cos/sin tiles are built
+    once per token. Same cache contract as llama_decode_step_fused."""
+    from ..ops.decode_megakernel import (
+        decode_attention_wo,
+        layer_mlp_residual,
+        layer_mlp_residual_q8,
+        layer_qkv_norm_rope,
+        layer_qkv_norm_rope_q8,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    blocks = params["blocks"]
+    q8 = "wq_q8" in blocks  # int8 decode weights present (models/quantize.py)
+    b = inputs_embeds.shape[0]
+    h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv = llama_inv_freq(cfg)
+    wp = cache.write_pos
+    pos = cache.prompt_lens + (wp - prompt_pad)
+    cos, sin = rope_cos_sin(pos[:, None], inv)  # (B, 1, Dh)
+    cosq = jnp.tile(cos[:, 0], (1, h))   # (B, H*Dh) — same angles per head
+    sinq = jnp.tile(sin[:, 0], (1, h))
+    cosk = jnp.tile(cos[:, 0], (1, kh))
+    sink = jnp.tile(sin[:, 0], (1, kh))
+    eps = cfg.rms_norm_eps
+
+    def body(l, carry):
+        x, k_all, v_all = carry  # x: (B, D)
+        if q8:
+            qf, kf, vf = layer_qkv_norm_rope_q8(
+                x, blocks["attn_norm"],
+                blocks["wq_q8"], blocks["wq_scale"],
+                blocks["wk_q8"], blocks["wk_scale"],
+                blocks["wv_q8"], blocks["wv_scale"],
+                cosq, sinq, cosk, sink, l, eps=eps, head_dim=dh,
+                interpret=interpret,
+            )
+        else:
+            qf, kf, vf = layer_qkv_norm_rope(
+                x, blocks["attn_norm"], blocks["wq"], blocks["wk"], blocks["wv"],
+                cosq, sinq, cosk, sink, l, eps=eps, head_dim=dh,
+                interpret=interpret,
+            )
+        x, k_all, v_all = decode_attention_wo(
+            qf.reshape(b, h, dh), k_all, v_all,
+            kf.reshape(b, kh, dh).astype(k_all.dtype),
+            vf.reshape(b, kh, dh).astype(v_all.dtype),
+            blocks["wo_q8"] if q8 else blocks["wo"], x, l,
+            prompt_lens=cache.prompt_lens, write_pos=wp,
+            prompt_pad=prompt_pad,
+            wo_scale=blocks["wo_scale"] if q8 else None,
+            interpret=interpret,
+        )
+        if q8:
+            x = layer_mlp_residual_q8(
+                x, blocks["mlp_norm"],
+                blocks["w_gate_q8"], blocks["w_gate_scale"],
+                blocks["w_up_q8"], blocks["w_up_scale"],
+                blocks["w_down_q8"], blocks["w_down_scale"],
+                l, eps=eps, interpret=interpret,
+            )
+        else:
+            x = layer_mlp_residual(
+                x, blocks["mlp_norm"], blocks["w_gate"], blocks["w_up"],
+                blocks["w_down"], l, eps=eps, interpret=interpret,
+            )
+        return (x, k_all, v_all)
+
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, cfg.num_layers, body, (inputs_embeds[:, 0], cache.k, cache.v)
+    )
+    return x[:, None], KVCache(
+        k=new_k, v=new_v, prompt_lens=cache.prompt_lens, write_pos=wp + 1
+    )
+
+
 def llama_decode_step_paged(
     params: dict,
     cfg: TextConfig,

@@ -13,11 +13,10 @@ Algorithm (FA-2 backward, written from the paper's recurrences):
   (elementwise, cheap), then two kernels recompute the probability blocks
   p = exp(s - lse) on the fly:
 
-    dq kernel   grid (B*H, Sq/BQ): stream K blocks per q block,
-                dq  = scale * sum_k  ds @ K,        ds = p * (dO V^T - delta)
-    dk/dv kernel grid (B*H, Sk/BK): stream Q blocks per k block,
-                dv += p^T dO
-                dk += ds^T (scale * Q)
+    dq kernel   grid (B*H, Sq/BQ, Sk/BK): dq_acc += ds @ K per k block,
+                ds = p * (dO V^T - delta); written at the last k block
+    dk/dv kernel grid (B*H, Sk/BK, Sq/BQ): dv_acc += p^T dO,
+                dk_acc += ds^T (scale * Q) per q block; written at the last
 
   GQA: both kernels run per Q head (kv blocks index-mapped h -> h//group,
   like the forward); dk/dv come out per q-head (B, H, Sk, D) fp32 and are
@@ -25,14 +24,20 @@ Algorithm (FA-2 backward, written from the paper's recurrences):
   accumulation, and the transient is small relative to activations.
 
 TPU notes:
-  * K/V (dq kernel) and Q/dO (dkv kernel) for one head live fully in VMEM,
-    like the forward (S<=16k x D<=128 bf16 <= 4 MB each); the inner
-    fori_loop prunes blocks outside the causal band from BOTH directions
-    (dq: upper bound; dkv: lower bound).
-  * LSE/delta ride as (B*H, S) fp32 rows with 1D (block,) blocks — the
-    same layout jax's own TPU flash kernel uses.
-  * masked positions zero p explicitly (exp(s - lse) at a fully-masked row
-    would otherwise produce garbage from the lse clamp).
+  * Everything streams in (block_q, D)/(block_k, D) blocks: VMEM use is
+    INDEPENDENT of S. (The first cut kept whole (S, D) heads resident —
+    with D=64 lane-padded to 128 that is 4 MB per array at S=16k, x2
+    pipeline buffers, and blew the 16 MB scoped-vmem limit: S=16384
+    training was uncompilable.)
+  * The accumulator output block is revisited across the fastest grid axis
+    (its index map ignores it), zeroed on the first step and written from
+    f32 scratch on the last — the standard Mosaic accumulation pattern.
+  * Causal pruning without wasted DMA: out-of-band programs clamp their
+    streamed-block index maps to the last relevant block (same index as
+    the previous step => Pallas issues no new copy) and skip compute via
+    pl.when.
+  * LSE/delta/segment ids all ride as lane-major (1, S) rows — a (S, 1)
+    column block would be lane-padded 128x.
 """
 
 from __future__ import annotations
@@ -81,8 +86,8 @@ def _mask_block(
 
 def _dq_kernel(
     q_ref,      # (BQ, D)
-    k_ref,      # (Sk_pad, D) whole kv head
-    v_ref,      # (Sk_pad, D)
+    k_ref,      # (BK, D)
+    v_ref,      # (BK, D)
     do_ref,     # (BQ, D)
     lse_ref,    # (1, BQ)
     delta_ref,  # (1, BQ)
@@ -91,6 +96,7 @@ def _dq_kernel(
     causal: bool,
     block_q: int,
     block_k: int,
+    num_k: int,
     sk_pad: int,
     kv_valid: int,
     q_offset: int,
@@ -101,33 +107,32 @@ def _dq_kernel(
     else:
         dq_ref, acc_ref = refs
     qi = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale
-    do = do_ref[:].astype(jnp.float32)
-    lse = lse_ref[0, :].reshape(block_q, 1)
-    delta = delta_ref[0, :].reshape(block_q, 1)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-
+    ki = pl.program_id(2)
     q_start = qi * block_q
-    if causal:
-        num_k = (q_start + q_offset + block_q - 1) // block_k + 1
-        num_k = jnp.minimum(num_k, pl.cdiv(sk_pad, block_k))
-    else:
-        num_k = pl.cdiv(sk_pad, block_k)
+    k_start = ki * block_k
 
-    def body(ki, _):
-        k_blk = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def compute():
+        q = q_ref[:].astype(jnp.float32) * scale
+        do = do_ref[:].astype(jnp.float32)
+        lse = lse_ref[0, :].reshape(block_q, 1)
+        delta = delta_ref[0, :].reshape(block_q, 1)
+        k_blk = k_ref[:].astype(jnp.float32)
+        v_blk = v_ref[:].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         p = jnp.exp(s - lse)
         ok = _mask_block(
-            q_start, ki * block_k, block_q, block_k,
+            q_start, k_start, block_q, block_k,
             causal=causal, kv_valid=kv_valid, sk_pad=sk_pad,
             q_offset=q_offset,
-            qseg=qseg_ref[:] if segments else None,
-            kseg=kseg_ref[:, pl.ds(ki * block_k, block_k)] if segments else None,
+            qseg=qseg_ref[0, :].reshape(block_q, 1) if segments else None,
+            kseg=kseg_ref[:] if segments else None,
         )
         if ok is not None:
             p = jnp.where(ok, p, 0.0)
@@ -140,25 +145,33 @@ def _dq_kernel(
             ds, k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return 0
 
-    jax.lax.fori_loop(0, num_k, body, 0)
-    dq_ref[:] = acc_ref[:] * scale
+    if causal:
+        # k blocks strictly above the causal band contribute nothing
+        @pl.when(k_start <= q_start + q_offset + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        dq_ref[:] = acc_ref[:] * scale
 
 
 def _dkv_kernel(
-    q_ref,      # (Sq_pad, D) whole q head
-    do_ref,     # (Sq_pad, D)
+    q_ref,      # (BQ, D)
+    do_ref,     # (BQ, D)
     k_ref,      # (BK, D)
     v_ref,      # (BK, D)
-    lse_ref,    # (1, Sq_pad)
-    delta_ref,  # (1, Sq_pad)
+    lse_ref,    # (1, BQ)
+    delta_ref,  # (1, BQ)
     *refs,
     scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
-    sq_pad: int,
+    num_q: int,
     sk_pad: int,
     kv_valid: int,
     q_offset: int,
@@ -169,37 +182,32 @@ def _dkv_kernel(
     else:
         dk_ref, dv_ref, dk_acc, dv_acc = refs
     ki = pl.program_id(1)
+    qi = pl.program_id(2)
     k_start = ki * block_k
-    k_blk = k_ref[:].astype(jnp.float32)
-    v_blk = v_ref[:].astype(jnp.float32)
-    dk_acc[:] = jnp.zeros_like(dk_acc)
-    dv_acc[:] = jnp.zeros_like(dv_acc)
+    q_start = qi * block_q
 
-    num_q = sq_pad // block_q
-    if causal:
-        # first q block whose LAST row can see k_start:
-        # local q row j attends key k iff j + q_offset >= k
-        qi_lo = jnp.maximum(0, (k_start - q_offset) // block_q)
-    else:
-        qi_lo = 0
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    def body(qi, _):
-        q_blk = (
-            q_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32) * scale
-        )
-        do_blk = do_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * block_q, block_q)].reshape(block_q, 1)
-        delta = delta_ref[0, pl.ds(qi * block_q, block_q)].reshape(block_q, 1)
+    def compute():
+        k_blk = k_ref[:].astype(jnp.float32)
+        v_blk = v_ref[:].astype(jnp.float32)
+        q_blk = q_ref[:].astype(jnp.float32) * scale
+        do_blk = do_ref[:].astype(jnp.float32)
+        lse = lse_ref[0, :].reshape(block_q, 1)
+        delta = delta_ref[0, :].reshape(block_q, 1)
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BQ, BK)
         p = jnp.exp(s - lse)
         ok = _mask_block(
-            qi * block_q, k_start, block_q, block_k,
+            q_start, k_start, block_q, block_k,
             causal=causal, kv_valid=kv_valid, sk_pad=sk_pad,
             q_offset=q_offset,
-            qseg=qseg_ref[pl.ds(qi * block_q, block_q), :] if segments else None,
+            qseg=qseg_ref[0, :].reshape(block_q, 1) if segments else None,
             kseg=kseg_ref[:] if segments else None,
         )
         if ok is not None:
@@ -217,11 +225,19 @@ def _dkv_kernel(
             ds, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BK, D); q_blk is pre-scaled => dk already includes scale
-        return 0
 
-    jax.lax.fori_loop(qi_lo, num_q, body, 0)
-    dk_ref[:] = dk_acc[:]
-    dv_ref[:] = dv_acc[:]
+    if causal:
+        # q blocks whose last row still precedes k_start see none of it
+        @pl.when(q_start + q_offset + block_q - 1 >= k_start)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(qi == num_q - 1)
+    def _():
+        dk_ref[:] = dk_acc[:]
+        dv_ref[:] = dv_acc[:]
 
 
 def flash_attention_bwd(
@@ -278,9 +294,10 @@ def flash_attention_bwd(
         k = jnp.pad(k, padk)
         v = jnp.pad(v, padk)
     sq_p, sk_p = sq + pq, sk + pk
+    nq, nk = sq_p // block_q, sk_p // block_k
     if segment_ids is not None:
         assert sq == sk, "segment_ids requires self-attention (Sq == Sk)"
-        qseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pq)))[:, :, None]
+        qseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pq)))[:, None, :]
         kseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pk)))[:, None, :]
 
     qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
@@ -296,31 +313,56 @@ def flash_attention_bwd(
     segments = segment_ids is not None
     common = dict(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_valid=sk, q_offset=q_offset, segments=segments,
+        sk_pad=sk_p, kv_valid=sk, q_offset=q_offset, segments=segments,
     )
+
+    def clamp_ki(qi, ki):
+        """Last k block the causal band reaches for q block qi; programs
+        beyond it reuse it (no DMA) and skip compute."""
+        if not causal:
+            return ki
+        hi = jnp.maximum(qi * block_q + q_offset + block_q - 1, 0) // block_k
+        return jnp.minimum(ki, jnp.minimum(hi, nk - 1))
+
+    def clamp_qi(ki, qi):
+        """First q block that can see k block ki (trunc-div is exact here:
+        max(0, .) absorbs any negative numerator)."""
+        if not causal:
+            return qi
+        lo = jnp.maximum((ki * block_k - q_offset) // block_q, 0)
+        return jnp.maximum(qi, jnp.minimum(lo, nq - 1))
 
     # ---- dq ----------------------------------------------------------------
     dq_in_specs = [
-        pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
-        pl.BlockSpec((None, sk_p, d), lambda bh, qi, gr=group: (bh // gr, 0, 0)),
-        pl.BlockSpec((None, sk_p, d), lambda bh, qi, gr=group: (bh // gr, 0, 0)),
-        pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
-        pl.BlockSpec((None, 1, block_q), lambda bh, qi: (bh, 0, qi)),
-        pl.BlockSpec((None, 1, block_q), lambda bh, qi: (bh, 0, qi)),
+        pl.BlockSpec((None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec(
+            (None, block_k, d),
+            lambda bh, qi, ki, gr=group: (bh // gr, clamp_ki(qi, ki), 0),
+        ),
+        pl.BlockSpec(
+            (None, block_k, d),
+            lambda bh, qi, ki, gr=group: (bh // gr, clamp_ki(qi, ki), 0),
+        ),
+        pl.BlockSpec((None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((None, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+        pl.BlockSpec((None, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
     ]
     dq_operands = [qh, khh, vhh, gh, lseh, deltah]
     if segments:
         dq_in_specs += [
-            pl.BlockSpec((None, block_q, 1), lambda bh, qi, h_=h: (bh // h_, qi, 0)),
-            pl.BlockSpec((None, 1, sk_p), lambda bh, qi, h_=h: (bh // h_, 0, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda bh, qi, ki, h_=h: (bh // h_, 0, qi)),
+            pl.BlockSpec(
+                (None, 1, block_k),
+                lambda bh, qi, ki, h_=h: (bh // h_, 0, clamp_ki(qi, ki)),
+            ),
         ]
         dq_operands += [qseg, kseg]
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, sk_pad=sk_p, **common),
-        grid=(b * h, sq_p // block_q),
+        functools.partial(_dq_kernel, num_k=nk, **common),
+        grid=(b * h, nq, nk),
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
@@ -328,28 +370,35 @@ def flash_attention_bwd(
 
     # ---- dk / dv (per q head; group-summed below) --------------------------
     dkv_in_specs = [
-        pl.BlockSpec((None, sq_p, d), lambda bh, ki: (bh, 0, 0)),
-        pl.BlockSpec((None, sq_p, d), lambda bh, ki: (bh, 0, 0)),
-        pl.BlockSpec((None, block_k, d), lambda bh, ki, gr=group: (bh // gr, ki, 0)),
-        pl.BlockSpec((None, block_k, d), lambda bh, ki, gr=group: (bh // gr, ki, 0)),
-        pl.BlockSpec((None, 1, sq_p), lambda bh, ki: (bh, 0, 0)),
-        pl.BlockSpec((None, 1, sq_p), lambda bh, ki: (bh, 0, 0)),
+        pl.BlockSpec((None, block_q, d), lambda bh, ki, qi: (bh, clamp_qi(ki, qi), 0)),
+        pl.BlockSpec((None, block_q, d), lambda bh, ki, qi: (bh, clamp_qi(ki, qi), 0)),
+        pl.BlockSpec(
+            (None, block_k, d), lambda bh, ki, qi, gr=group: (bh // gr, ki, 0)
+        ),
+        pl.BlockSpec(
+            (None, block_k, d), lambda bh, ki, qi, gr=group: (bh // gr, ki, 0)
+        ),
+        pl.BlockSpec((None, 1, block_q), lambda bh, ki, qi: (bh, 0, clamp_qi(ki, qi))),
+        pl.BlockSpec((None, 1, block_q), lambda bh, ki, qi: (bh, 0, clamp_qi(ki, qi))),
     ]
     dkv_operands = [qh, gh, khh, vhh, lseh, deltah]
     if segments:
         dkv_in_specs += [
-            pl.BlockSpec((None, sq_p, 1), lambda bh, ki, h_=h: (bh // h_, 0, 0)),
-            pl.BlockSpec((None, 1, block_k), lambda bh, ki, h_=h: (bh // h_, 0, ki)),
+            pl.BlockSpec(
+                (None, 1, block_q),
+                lambda bh, ki, qi, h_=h: (bh // h_, 0, clamp_qi(ki, qi)),
+            ),
+            pl.BlockSpec((None, 1, block_k), lambda bh, ki, qi, h_=h: (bh // h_, 0, ki)),
         ]
         dkv_operands += [qseg, kseg]
 
     dk_h, dv_h = pl.pallas_call(
-        functools.partial(_dkv_kernel, sq_pad=sq_p, sk_pad=sk_p, **common),
-        grid=(b * h, sk_p // block_k),
+        functools.partial(_dkv_kernel, num_q=nq, **common),
+        grid=(b * h, nk, nq),
         in_specs=dkv_in_specs,
         out_specs=[
-            pl.BlockSpec((None, block_k, d), lambda bh, ki: (bh, ki, 0)),
-            pl.BlockSpec((None, block_k, d), lambda bh, ki: (bh, ki, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, ki, qi: (bh, ki, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),

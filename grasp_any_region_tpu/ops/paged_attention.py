@@ -13,10 +13,11 @@ Two implementations, same semantics:
     followed by masked attention. The gather touches only the sequence's own
     pages (B * max_pages * page_size tokens), which XLA fuses with the
     attention einsum; this is the engine's default decode path.
-  * `paged_attention` — Pallas kernel: grid (B*K, max_pages), block table in
-    scalar-prefetch SMEM, one page DMA'd per grid step, online-softmax
-    accumulation in VMEM scratch across the sequential page axis. Avoids
-    materializing the gathered copy.
+  * `paged_attention` — Pallas kernel: grid (B*K, max_pages/PB), block table
+    in scalar-prefetch SMEM, PB pages DMA'd CONCURRENTLY per grid step as
+    independent block operands (a single 8 KB page per step is DMA-latency
+    bound), online-softmax accumulation in VMEM scratch across the
+    sequential page axis. Avoids materializing the gathered copy.
 
 Layout: pages are (page_size, D) slabs per kv head — head-major like
 models/llama.KVCache — so each grid step streams contiguous memory.
@@ -79,18 +80,15 @@ def _paged_kernel(
     bt_ref,   # (B, MP) int32 scalar-prefetch
     sl_ref,   # (B,) int32 scalar-prefetch
     q_ref,    # (G, D)
-    k_ref,    # (PS, D) — the page mapped for this grid step
-    v_ref,    # (PS, D)
-    o_ref,    # (G, D)
-    acc_ref,  # (G, D) f32
-    m_ref,    # (G, 128) f32
-    l_ref,    # (G, 128) f32
-    *,
+    *refs,    # PB x (k page, v page) (PS, D) blocks, then o/acc/m/l refs
     scale: float,
     page_size: int,
-    max_pages: int,
+    num_blocks: int,
+    pages_per_block: int,
     kv_heads: int,
 ):
+    pb = pages_per_block
+    kv_refs, (o_ref, acc_ref, m_ref, l_ref) = refs[: 2 * pb], refs[2 * pb:]
     p = pl.program_id(1)
     bk = pl.program_id(0)
     b = bk // kv_heads
@@ -104,34 +102,42 @@ def _paged_kernel(
 
     # live pages: ceil(seq_len / page_size); later grid steps only pass through
     n_used = (seq_len + page_size - 1) // page_size
+    q = q_ref[:].astype(jnp.float32) * scale
 
-    @pl.when(p < n_used)
-    def _compute():
-        q = q_ref[:].astype(jnp.float32) * scale
-        s = jax.lax.dot_general(
-            q, k_ref[:].astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, PS)
-        pos = p * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1
-        )
-        ok = pos < seq_len
-        s = jnp.where(ok, s, NEG_INF)
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        prob = jnp.exp(s - m_cur)
-        prob = jnp.where(ok, prob, 0.0)  # guard fully-masked tail rows
-        alpha = jnp.exp(m_prev - m_cur)
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(prob, -1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            prob.astype(v_ref.dtype), v_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:, :1] = m_cur
+    # one grid step streams `pb` pages as independent block operands — their
+    # DMAs overlap instead of paying one tiny-transfer latency per grid step
+    # (the round-2 single-page kernel measured 24 ms vs 12.5 for the XLA
+    # gather at 8 KB/step — docs/PERF_NOTES.md addendum 2)
+    for j in range(pb):
+        page_idx = p * pb + j
 
-    @pl.when(p == max_pages - 1)
+        @pl.when(page_idx < n_used)
+        def _compute(j=j, page_idx=page_idx):
+            k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
+            s = jax.lax.dot_general(
+                q, k_ref[:].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, PS)
+            pos = page_idx * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
+            ok = pos < seq_len
+            s = jnp.where(ok, s, NEG_INF)
+            m_prev = m_ref[:, :1]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            prob = jnp.exp(s - m_cur)
+            prob = jnp.where(ok, prob, 0.0)  # guard fully-masked tail rows
+            alpha = jnp.exp(m_prev - m_cur)
+            l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(prob, -1, keepdims=True)
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                prob.astype(v_ref.dtype), v_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[:, :1] = m_cur
+
+    @pl.when(p == num_blocks - 1)
     def _finish():
         o_ref[:] = (
             acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
@@ -146,6 +152,7 @@ def paged_attention(
     seq_lens: jnp.ndarray,     # (B,) int32
     *,
     scale: Optional[float] = None,
+    pages_per_block: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, d = q.shape
@@ -154,27 +161,38 @@ def paged_attention(
     g = h // kh
     if scale is None:
         scale = d ** -0.5
+    pb = min(pages_per_block, mp)
+    while mp % pb:
+        pb -= 1
+    nblk = mp // pb
 
-    kp, vp = k_pages, v_pages
     qh = q.reshape(b, kh, g, d)
 
     kernel = functools.partial(
         _paged_kernel,
-        scale=scale, page_size=ps, max_pages=mp, kv_heads=kh,
+        scale=scale, page_size=ps, num_blocks=nblk,
+        pages_per_block=pb, kv_heads=kh,
     )
 
-    def page_map(bk, p, bt, sl, k=kh):
-        # clamp dead pages to the page actually listed (0 = null page);
-        # the kernel skips compute for p >= n_used
-        return (bk % k, bt[bk // k, p], 0, 0)
+    def page_map(j, k=kh):
+        def f(bk, p, bt, sl):
+            # dead entries map to null page 0 (block tables are zero-filled
+            # past the allocation); the kernel masks them out
+            return (bk % k, bt[bk // k, p * pb + j], 0, 0)
+        return f
 
+    page_specs = []
+    for j in range(pb):
+        page_specs += [
+            pl.BlockSpec((None, None, ps, d), page_map(j)),
+            pl.BlockSpec((None, None, ps, d), page_map(j)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b * kh, mp),
+        grid=(b * kh, nblk),
         in_specs=[
             pl.BlockSpec((None, None, g, d), lambda bk, p, bt, sl, k=kh: (bk // k, bk % k, 0, 0)),
-            pl.BlockSpec((None, None, ps, d), page_map),
-            pl.BlockSpec((None, None, ps, d), page_map),
+            *page_specs,
         ],
         out_specs=pl.BlockSpec(
             (None, None, g, d), lambda bk, p, bt, sl, k=kh: (bk // k, bk % k, 0, 0)
@@ -185,10 +203,13 @@ def paged_attention(
             pltpu.VMEM((g, 128), jnp.float32),
         ],
     )
+    operands = [block_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh]
+    for _ in range(pb):
+        operands += [k_pages, v_pages]
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kh, g, d), q.dtype),
         interpret=interpret,
-    )(block_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh, kp, vp)
+    )(*operands)
     return out.reshape(b, h, d)

@@ -109,6 +109,10 @@ class ContinuousBatchingEngine:
         # that finish at admission) — drained by step()/_run_pipelined so
         # streaming consumers see the FULL sequence
         self._pending_events: List[StepEvent] = []
+        # pipelined admission: ([slots], device tok0s) pending seeding into
+        # cur, and the slots whose tok0 the next window fetch must resolve
+        self._deferred: List[Tuple[List[int], jnp.ndarray]] = []
+        self._fresh: set = set()
         self._next_id = 0
 
         @partial(jax.jit, static_argnames=("self_cfg",))
@@ -189,6 +193,12 @@ class ContinuousBatchingEngine:
                 i, cur, counts, done, cache, out = st
                 return (i < steps) & ~jnp.all(done | ~active)
 
+            # freshly admitted slots arrive with an UNFETCHED tok0 in `cur`
+            # (admission defers the host sync into this window's single
+            # fetch): tok0 == eot or an exhausted budget freezes the slot
+            # before it decodes anything
+            done_init = active & ((cur == eot) | (rem <= 0))
+
             def body(st):
                 i, cur, counts, done, cache, out = st
                 act_eff = active & ~done
@@ -210,16 +220,20 @@ class ContinuousBatchingEngine:
             slots = cur.shape[0]
             out0 = jnp.full((steps, slots), e_pad, jnp.int32)
             counts0 = jnp.zeros((slots,), jnp.int32)
-            done0 = jnp.zeros((slots,), bool)
             i0 = jnp.asarray(0, jnp.int32)
+            cur0 = cur
             (_, cur, counts, done, cache, out) = jax.lax.while_loop(
-                cond, body, (i0, cur, counts0, done0, cache0, out0),
+                cond, body, (i0, cur, counts0, done_init, cache0, out0),
             )
             k_pool, v_pool = flush_window_pages(
                 k_pool, v_pool, cache.k, cache.v, block_table,
                 seq_lens, counts, s_base, steps,
             )
-            return out, counts, k_pool, v_pool
+            # ONE fetchable array: row 0 = the input cur (deferred tok0s for
+            # fresh slots), row 1 = per-slot new-token counts, rows 2.. =
+            # the window's tokens
+            packed = jnp.concatenate([cur0[None], counts[None], out], axis=0)
+            return packed, k_pool, v_pool
 
         e_eot = ecfg.eot_id
         e_pad = ecfg.pad_id
@@ -269,13 +283,19 @@ class ContinuousBatchingEngine:
         )
         return n
 
-    def _admit(self) -> None:
+    def _admit(self, defer_tok0: bool = False) -> None:
         """Admit as many queued requests as slots/pages allow.
 
         Same-shape requests at the queue head prefill TOGETHER in one
         batched gar_prefill call — admission gets the same batching
         economics as the static path instead of stalling all active slots
-        once per request (round-1 weakness: serial per-request prefill)."""
+        once per request (round-1 weakness: serial per-request prefill).
+
+        defer_tok0 (pipelined mode): do NOT sync tok0 to the host here —
+        the relay replays the un-materialized graph per fetch, so a
+        per-admission fetch costs nearly a full prefill replay. The device
+        tok0s queue in self._deferred; the decode window seeds them into
+        `cur` and returns them inside its single packed fetch."""
         while self.queue:
             free_slots = [i for i in range(self.ecfg.slots) if not self.active[i]]
             group: List[Tuple[int, GARBatch, int, List[int]]] = []
@@ -323,7 +343,12 @@ class ContinuousBatchingEngine:
                     self.allocator.release(pages)
                 raise
             ks, vs = kv  # (L, G, S, K, D)
-            tok0s = np.asarray(tok0s)
+            if defer_tok0:
+                self._deferred.append(
+                    ([free_slots[i] for i in range(len(group))], tok0s)
+                )
+            else:
+                tok0s = np.asarray(tok0s)
             for i, (rid, _, plen, pages) in enumerate(group):
                 slot = free_slots[i]
                 page_vec = np.zeros(mp, np.int32)
@@ -332,14 +357,21 @@ class ContinuousBatchingEngine:
                     self.k_pool, self.v_pool, ks[:, i], vs[:, i],
                     jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
                 )
-                tok0 = int(tok0s[i])
                 self.block_table[slot] = page_vec
                 self.seq_lens[slot] = plen
+                self.active[slot] = True
+                if defer_tok0:
+                    # tok0 is still on device; the window boundary fills it in
+                    self.slots[slot] = _SlotState(
+                        request_id=rid, pages=pages, tokens=[]
+                    )
+                    self._fresh.add(slot)
+                    continue
+                tok0 = int(tok0s[i])
                 self.cur[slot] = tok0
                 self.slots[slot] = _SlotState(
                     request_id=rid, pages=pages, tokens=[tok0]
                 )
-                self.active[slot] = True
                 done0 = tok0 == self.ecfg.eot_id or self.ecfg.max_new_tokens == 1
                 self._pending_events.append(StepEvent(rid, tok0, done0))
                 if done0:
@@ -397,12 +429,13 @@ class ContinuousBatchingEngine:
         retires/admits at the boundary.
         """
         e = self.ecfg
-        while self.has_work():
-            self._admit()
+        if self._pending_events:  # leftovers from a prior step() call
             if on_event is not None:
                 for ev in self._pending_events:
                     on_event(ev)
             self._pending_events = []
+        while self.has_work():
+            self._admit(defer_tok0=True)
             if not self.active.any():
                 if self.queue:
                     rid, _, plen = self.queue[0]
@@ -414,23 +447,40 @@ class ContinuousBatchingEngine:
             live = [s for s in range(e.slots) if self.active[s]]
             rem = np.zeros(e.slots, np.int32)
             for s in live:
-                rem[s] = e.max_new_tokens - len(self.slots[s].tokens)
+                # fresh slots: tok0 (still device-side) counts against the
+                # budget even though tokens[] is empty until the fetch
+                rem[s] = e.max_new_tokens - len(self.slots[s].tokens) - (
+                    1 if s in self._fresh else 0
+                )
+            # seed the deferred device tok0s into cur (lazy device ops — no
+            # host sync until the window's packed fetch)
+            cur_dev = jnp.asarray(self.cur)
+            for slot_list, tok0s in self._deferred:
+                cur_dev = cur_dev.at[jnp.asarray(slot_list, jnp.int32)].set(tok0s)
+            self._deferred = []
             # dense-cache column budget: longest live sequence, bucketed to
             # 512-multiples of page_size so shapes (and compiles) are few
             bucket = e.page_size * max(1, 512 // e.page_size)
             s_base = int(max(self.seq_lens[s] for s in live))
             s_base = ((s_base + bucket - 1) // bucket) * bucket
             s_base = min(s_base, e.max_pages_per_slot * e.page_size)
-            toks, counts, self.k_pool, self.v_pool = self._decode_window_fn(
+            packed, self.k_pool, self.v_pool = self._decode_window_fn(
                 self.params, self.k_pool, self.v_pool,
-                jnp.asarray(self.cur), jnp.asarray(self.block_table),
+                cur_dev, jnp.asarray(self.block_table),
                 jnp.asarray(self.seq_lens), jnp.asarray(self.active),
                 jnp.asarray(rem), s_base=s_base, steps=e.decode_chunk,
             )
-            toks = np.asarray(toks)   # the window's single device fetch
-            counts = np.asarray(counts)
+            packed = np.asarray(packed)  # the cycle's SINGLE device fetch
+            cur0, counts, toks = packed[0], packed[1], packed[2:]
+            fresh, self._fresh = self._fresh, set()
             for s in live:
                 st = self.slots[s]
+                if s in fresh:
+                    tok0 = int(cur0[s])
+                    st.tokens.append(tok0)
+                    done0 = tok0 == e.eot_id or e.max_new_tokens == 1
+                    if on_event is not None:
+                        on_event(StepEvent(st.request_id, tok0, done0))
                 n = int(counts[s])
                 for t in range(n):
                     tok = int(toks[t, s])

@@ -145,6 +145,49 @@ def test_fused_decode_step_matches_reference(rng):
     assert int(c_fused.write_pos) == int(c_ref.write_pos)
 
 
+def test_mega_decode_step_matches_reference(rng):
+    """The 3-call megakernel decode step (ops/decode_megakernel: in-kernel
+    rms_norm + flat-lane rope, attention+wo+residual accumulation, fused
+    MLP) must match the XLA reference step in fp32 (interpret mode),
+    including ragged prompt_lens and a mid-cache write position."""
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import (
+        KVCache,
+        embed_tokens,
+        llama_decode_step,
+        llama_decode_step_mega,
+    )
+
+    cfg = gar_tiny()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg)["llm"]
+    tc = cfg.text
+    b, s_max, prompt_pad = 3, 64, 32
+    k = jax.random.normal(
+        jax.random.PRNGKey(1), (tc.num_layers, b, tc.num_kv_heads, s_max, tc.head_dim))
+    v = jax.random.normal(
+        jax.random.PRNGKey(2), (tc.num_layers, b, tc.num_kv_heads, s_max, tc.head_dim))
+    cache = KVCache(
+        k=k, v=v, prompt_lens=jnp.array([17, 30, 9], jnp.int32),
+        write_pos=jnp.asarray(35, jnp.int32))
+    e = embed_tokens(params, jnp.full((b, 1), 42, jnp.int32), jnp.float32)
+
+    h_ref, c_ref = llama_decode_step(
+        params, tc, e, cache, prompt_pad, use_kernel=False)
+    h_mega, c_mega = llama_decode_step_mega(
+        params, tc, e, cache, prompt_pad, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(h_mega), np.asarray(h_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_mega.k), np.asarray(c_ref.k), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_mega.v), np.asarray(c_ref.v), rtol=1e-4, atol=1e-5)
+    assert int(c_mega.write_pos) == int(c_ref.write_pos)
+
+
 def test_int8_decode_weights_close_to_bf16(rng):
     """Quantized decode step stays close to the fp32 step (interpret mode)."""
     import jax
@@ -229,12 +272,11 @@ def test_flash_attention_df_grads_match_reference(rng):
     v = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
     seg = jnp.asarray((np.arange(s)[None] < 70).astype(np.int32))
 
+    # run the REAL Pallas forward (which saves the per-row LSE for the FA-2
+    # backward) in interpret mode — a plain mha_reference stand-in can't
+    # honor return_lse
     orig = FA.flash_attention
-    FA.flash_attention = (
-        lambda q, k, v, causal=True, segment_ids=None, scale=None, **kw:
-        mha_reference(q, k, v, causal=causal, segment_ids=segment_ids,
-                      scale=scale)
-    )
+    FA.flash_attention = lambda *a, **kw: orig(*a, interpret=True, **kw)
     try:
         def loss_df(q, k, v):
             return jnp.sum(FA.flash_attention_df(q, k, v, True, seg, None) ** 2)

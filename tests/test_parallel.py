@@ -120,6 +120,56 @@ def test_sp_ring_fallback_loss_matches():
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-2)
 
 
+def test_sp_ring_8k_context_train_step():
+    """Long-context evidence (configs/gar_1b.py:28 trains at 16384): a REAL
+    8192-token causal train-step gradient on the (1,2,1,4) ring mesh —
+    kv_heads (2) < seq axis (4) forces the ring path — with finite loss,
+    and the per-device attention working set must shrink vs the
+    single-device compile (each shard holds S/4 of the sequence)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grasp_any_region_tpu.models.llama import embed_tokens, init_llama_params, llama_prefill
+    from grasp_any_region_tpu.train.losses import chunked_cross_entropy, shift_labels
+
+    tc = CFG.text.__class__(
+        hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, vocab_size=512,
+        max_position_embeddings=8192,
+    )
+    S = 8192
+    params = init_llama_params(jax.random.PRNGKey(0), tc, None, jnp.float32)
+    # B=2: the ring spec shards batch over (data, fsdp) = 2
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, S), 4, 500, jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (2, S))
+
+    def loss(p, ids):
+        embeds = embed_tokens(p, ids, jnp.float32)
+        hidden, _ = llama_prefill(
+            p, tc, embeds, positions, remat=True, use_flash=False, mesh=mesh)
+        return chunked_cross_entropy(p, tc, hidden, shift_labels(ids))
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=2, tensor=1, seq=4))
+    ids_sharded = jax.device_put(ids, NamedSharding(mesh, P(("data", "fsdp"), "seq")))
+    grad_sp = jax.jit(jax.value_and_grad(loss)).lower(params, ids_sharded).compile()
+    loss_sp, grads = grad_sp(params, ids_sharded)
+    assert np.isfinite(float(loss_sp)), float(loss_sp)
+    gn = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.square(x))), grads, 0.0)
+    assert np.isfinite(gn) and gn > 0
+
+    # memory sanity: compile (don't run) the single-device step and compare
+    # temp allocations — the ring shards the O(S x S/ring) attention buffers
+    mesh = None  # rebind closure -> single-device path
+    grad_1 = jax.jit(jax.value_and_grad(loss)).lower(params, ids).compile()
+    try:
+        mem_sp = grad_sp.memory_analysis()
+        mem_1 = grad_1.memory_analysis()
+        temp_sp, temp_1 = mem_sp.temp_size_in_bytes, mem_1.temp_size_in_bytes
+    except Exception:
+        pytest.skip("memory_analysis unsupported on this backend")
+    assert temp_sp < temp_1, (temp_sp, temp_1)
+
+
 def test_loss_decreases_under_training():
     params = init_gar_params(jax.random.PRNGKey(0), CFG)
     opt_cfg = OptimizerConfig(lr=5e-3, total_steps=20, warmup_ratio=0.0, accumulation=1)
