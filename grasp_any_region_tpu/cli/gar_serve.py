@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--slots", type=int, default=4)
     p.add_argument("--page-size", type=int, default=64)
     p.add_argument("--decode-chunk", type=int, default=32)
+    p.add_argument("--prefill-chunk", type=int, default=None,
+                   help="TTFT fairness: chunk new prompts' decoder sweep so "
+                        "active streams aren't stalled a whole prefill")
     p.add_argument("--repeat", type=int, default=1,
                    help="submit each image/mask pair this many times")
     p.add_argument("--random-init", action="store_true",
@@ -71,6 +74,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens,
         eot_id=rt.tok.eot_id,
         decode_chunk=args.decode_chunk,
+        prefill_chunk=args.prefill_chunk,
     )
     eng = ContinuousBatchingEngine(rt.params, rt.cfg, ecfg)
     names = {}

@@ -182,6 +182,57 @@ def llama_prefill(
     return x, (ks, vs)
 
 
+def llama_prefill_chunk(
+    params: dict,
+    cfg: TextConfig,
+    embeds: jnp.ndarray,      # (B, C, D) chunk of the prompt
+    positions: jnp.ndarray,   # (B, C) absolute positions
+    kv_prefix: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    *,
+    use_flash: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Incremental prefill: run one chunk of the prompt against the K/V of
+    the chunks processed so far (chunked prefill for serving TTFT — a new
+    request's prompt advances one chunk per engine cycle so active decode
+    streams are never stalled a whole prefill).
+
+    kv_prefix: (L, B, P, K, Dh) pair from prior chunks (None for the
+    first). The chunk's queries attend causally over [prefix ++ chunk] —
+    the flash kernel's right-aligned q-suffix offset (q_offset = P) gives
+    exact causal semantics without materializing a (C, P+C) mask.
+    Returns (hidden (B, C, D), (k_all, v_all) for prefix ++ chunk)."""
+    inv = llama_inv_freq(cfg)
+    cos, sin = rope_cos_sin(positions, inv)
+    eps = cfg.rms_norm_eps
+
+    def body(x, layer):
+        bp, prior = layer
+        y = rms_norm(x, bp["attn_norm"], eps)
+        q, k, v = _qkv(cfg, bp, y, cos, sin)
+        if prior is not None:
+            kp, vp = prior
+            k_full = jnp.concatenate([kp.astype(k.dtype), k], axis=1)
+            v_full = jnp.concatenate([vp.astype(v.dtype), v], axis=1)
+        else:
+            k_full, v_full = k, v
+        a = mha(q, k_full, v_full, causal=True, use_flash=use_flash)
+        a = _proj(bp, "wo", a.reshape(x.shape[0], x.shape[1], -1))
+        x = x + a
+        y = rms_norm(x, bp["mlp_norm"], eps)
+        x = x + _mlp(bp, y)
+        return x, (k_full, v_full)
+
+    if kv_prefix is None:
+        x, (ks, vs) = jax.lax.scan(
+            lambda c, bp: body(c, (bp, None)), embeds, params["blocks"]
+        )
+    else:
+        x, (ks, vs) = jax.lax.scan(
+            body, embeds, (params["blocks"], kv_prefix)
+        )
+    return x, (ks, vs)
+
+
 def llama_decode_step(
     params: dict,
     cfg: TextConfig,
@@ -202,7 +253,13 @@ def llama_decode_step(
     """
     b = inputs_embeds.shape[0]
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+        # the fused/mega qkv kernels hold one layer's whole q/k/v weights in
+        # VMEM (grid 1): fine for GAR-1B (12 MB) but over the 16 MB scoped
+        # limit at GAR-8B's hidden 4096 (32 MB for wq alone) unless the
+        # weights arrive tensor-parallel-sharded
+        d = cfg.hidden_size
+        qkv_bytes = 2 * d * (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+        use_kernel = jax.default_backend() == "tpu" and qkv_bytes <= 13 * 2 ** 20
     if use_kernel:
         # fully-fused path: layer-indexed weight streaming + in-kernel cache
         # append; ~1.75x faster per token than the sliced path (PERF_NOTES)

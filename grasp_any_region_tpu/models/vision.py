@@ -146,6 +146,7 @@ def vision_forward(
     remat: bool = False,
     compute_dtype=jnp.bfloat16,
     use_flash: Optional[bool] = None,
+    fused_blocks: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run the tower.
 
@@ -154,6 +155,15 @@ def vision_forward(
     mask_embeds: (T, N, D) patch-aligned mask embeddings added right after
         patch embed (injection point mirrors modeling_perception_lm.py:194-196).
     Returns (T, S, D) final hidden states (CLS still included at index 0).
+
+    fused_blocks: run each layer as 4 Pallas kernels (ops/vit_block.py +
+    vit_attention_fused_qkv): no separate LN/rope/gelu HBM passes and no
+    head-major transposes; LayerScale folds into the residual kernels.
+    Inference-only (forward kernels have no VJP; training keeps the XLA
+    composition, whose attention has the FA-2 custom_vjp) and requires
+    head_dim 64 (128-lane head pairs), an even head count, and rope
+    enabled. None = auto: on for TPU when not remat'ing and the shapes
+    allow.
     """
     t = pixel_values.shape[0]
     d = cfg.width
@@ -184,6 +194,60 @@ def vision_forward(
         angles = None
 
     blocks = params["blocks"]
+
+    if fused_blocks is None:
+        fused_blocks = (
+            not remat
+            and jax.default_backend() == "tpu"
+            and cfg.head_dim == 64
+            and cfg.num_heads % 2 == 0
+            and cfg.use_rope
+        )
+
+    if fused_blocks:
+        from ..ops.rope import rope_pair_tables
+        from ..ops.vit_attention import vit_attention_fused_qkv
+        from ..ops.vit_block import vit_ln_qkv, vit_mlp_residual, vit_wo_residual
+
+        assert cfg.head_dim == 64 and cfg.num_heads % 2 == 0 and cfg.use_rope
+        s_true = x.shape[1]
+        n_prefix = 1 if cfg.class_token else 0
+        pad = (-s_true) % 8
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        s_pad = s_true + pad
+        interp = jax.default_backend() != "tpu"
+
+        def body(carry, layer):
+            bp, ang = layer
+            if ang.shape[0] == 1:  # axial rope: one table for all heads
+                ang = jnp.broadcast_to(
+                    ang, (cfg.num_heads, *ang.shape[1:])
+                )
+            cos2, sin2 = rope_pair_tables(ang, s_pad, n_prefix)
+            qkv = vit_ln_qkv(
+                carry, bp["ln1_scale"], bp["ln1_bias"], bp["wqkv"],
+                bp["bqkv"], interpret=interp,
+            )
+            attn = vit_attention_fused_qkv(
+                qkv, cos2, sin2, cfg.num_heads, cfg.head_dim,
+                kv_valid=s_true, interpret=interp,
+            )
+            out = vit_wo_residual(attn, carry, bp["wo"], bp["bo"],
+                                  bp.get("ls1"), interpret=interp)
+            out = vit_mlp_residual(
+                out, bp["ln2_scale"], bp["ln2_bias"], bp["fc1"], bp["b1"],
+                bp["fc2"], bp["b2"], bp.get("ls2"), fast_gelu=cfg.fast_gelu,
+                interpret=interp,
+            )
+            return out, None
+
+        x, _ = jax.lax.scan(body, x, (blocks, angles))
+        if pad:
+            x = x[:, :s_true]
+        if params.get("ln_post") is not None:
+            x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        return x
 
     def body(carry, layer):
         bp, ang = layer

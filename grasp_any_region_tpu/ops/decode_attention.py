@@ -45,7 +45,8 @@ def _decode_kernel(
     plen = plen_ref[b]
     wpos = wpos_ref[0]
     g, d = q_ref.shape
-    q = q_ref[:].astype(jnp.float32) * scale
+    # bf16 operands (MXU-native); scale the f32 logits after the dot
+    q = q_ref[:]
 
     num_s = (wpos + block_s) // block_s  # cover up to and incl. write column
 
@@ -54,10 +55,10 @@ def _decode_kernel(
         k_blk = k_ref[pl.ds(si * block_s, block_s), :]
         v_blk = v_ref[pl.ds(si * block_s, block_s), :]
         s = jax.lax.dot_general(
-            q, k_blk.astype(jnp.float32),
+            q, k_blk,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (G, BS)
+        ) * scale  # (G, BS)
         ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, (g, block_s), 1)
         ok = (ids < plen) | ((ids >= prompt_pad) & (ids <= wpos))
         s = jnp.where(ok, s, NEG_INF)
@@ -100,7 +101,8 @@ def _fused_kernel(
     plen = plen_ref[b]
     wpos = wpos_ref[0]
     g, d = q_ref.shape
-    q = q_ref[:].astype(jnp.float32) * scale
+    # bf16 operands (MXU-native); scale the f32 logits after the dot
+    q = q_ref[:]
     k_new = knew_ref[:].reshape(1, d)  # (1, D)
     v_new = vnew_ref[:].reshape(1, d)
 
@@ -122,9 +124,9 @@ def _fused_kernel(
         k_blk = k_ref[pl.ds(si * block_s, block_s), :]
         v_blk = v_ref[pl.ds(si * block_s, block_s), :]
         s = jax.lax.dot_general(
-            q, k_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, (g, block_s), 1)
         ok = (ids < plen) | ((ids >= prompt_pad) & (ids < wpos))
         s = jnp.where(ok, s, NEG_INF)
@@ -145,11 +147,13 @@ def _fused_kernel(
     )
     m, l, acc = jax.lax.fori_loop(0, num_s, body, init)
 
-    # fold in the current token (its K/V never round-trips through HBM)
-    s_cur = jax.lax.dot_general(
-        q, k_new.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (G, 1)
+    # fold in the current token (its K/V never round-trips through HBM);
+    # a (G, D) x (1, D) dot trips Mosaic's vector.broadcast verifier, so
+    # this single column is a VPU multiply-reduce instead of an MXU dot
+    s_cur = jnp.sum(
+        q.astype(jnp.float32) * k_new.astype(jnp.float32),
+        axis=1, keepdims=True,
+    ) * scale  # (G, 1)
     m_f = jnp.maximum(m, s_cur)
     alpha = jnp.exp(m - m_f)
     p_cur = jnp.exp(s_cur - m_f)

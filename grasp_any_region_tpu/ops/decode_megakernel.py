@@ -302,7 +302,8 @@ def _attn_wo_kernel(
     plen = plen_ref[bi]
     wpos = wpos_ref[0]
     g, d = q_ref.shape
-    q = q_ref[:].astype(jnp.float32) * scale
+    # bf16 operands (MXU-native); scale the f32 logits after the dot
+    q = q_ref[:]
     k_new = knew_ref[:].reshape(1, d)
     v_new = vnew_ref[:].reshape(1, d)
 
@@ -323,9 +324,9 @@ def _attn_wo_kernel(
         k_blk = k_ref[pl.ds(si * block_s, block_s), :]
         v_blk = v_ref[pl.ds(si * block_s, block_s), :]
         s = jax.lax.dot_general(
-            q, k_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, (g, block_s), 1)
         ok = (ids < plen) | ((ids >= prompt_pad) & (ids < wpos))
         s = jnp.where(ok, s, NEG_INF)
@@ -346,11 +347,13 @@ def _attn_wo_kernel(
     )
     m, l, acc = jax.lax.fori_loop(0, num_s, body, init)
 
-    # fold in the current token
-    s_cur = jax.lax.dot_general(
-        q, k_new.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # fold in the current token; a (G, D) x (1, D) dot trips Mosaic's
+    # vector.broadcast verifier, so this single column is a VPU
+    # multiply-reduce instead of an MXU dot
+    s_cur = jnp.sum(
+        q.astype(jnp.float32) * k_new.astype(jnp.float32),
+        axis=1, keepdims=True,
+    ) * scale
     m_f = jnp.maximum(m, s_cur)
     alpha = jnp.exp(m - m_f)
     p_cur = jnp.exp(s_cur - m_f)
@@ -376,19 +379,30 @@ def _attn_wo_kernel(
         # per-output-column scale commutes out of the contraction
         partial = partial * ws_ref[:]
 
+    # whole-(B, Dm) blocks with masked row updates: a dynamic-row store
+    # (acc_ref[pl.ds(bi, 1)]) is a sublane offset Mosaic cannot statically
+    # align, and (1, Dm) per-row blocks violate the 8-sublane block rule —
+    # select on a row iota instead (B is small; the masking is free next
+    # to the dots above)
+    rows = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+    sel = rows == bi
+    partial_b = jnp.broadcast_to(partial, acc_ref.shape)
+
     @pl.when(ki == 0)
     def _():
-        acc_ref[pl.ds(bi, 1), :] = partial
+        acc_ref[:] = jnp.where(sel, partial_b, acc_ref[:])
 
     @pl.when(ki > 0)
     def _():
-        acc_ref[pl.ds(bi, 1), :] += partial
+        acc_ref[:] = jnp.where(sel, acc_ref[:] + partial_b, acc_ref[:])
 
     @pl.when(ki == num_kv - 1)
     def _():
-        xo_ref[pl.ds(bi, 1), :] = (
-            x_ref[pl.ds(bi, 1), :].astype(jnp.float32) + acc_ref[pl.ds(bi, 1), :]
-        ).astype(xo_ref.dtype)
+        xo_ref[:] = jnp.where(
+            sel,
+            (x_ref[:].astype(jnp.float32) + acc_ref[:]).astype(xo_ref.dtype),
+            xo_ref[:],
+        )
 
 
 def decode_attention_wo(

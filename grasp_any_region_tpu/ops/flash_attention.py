@@ -59,7 +59,9 @@ def _flash_kernel(
     lse_ref = refs[1] if with_lse else None
     acc_ref, m_ref, l_ref = refs[-3:]
     qi = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale
+    # keep q in the input dtype: MXU consumes bf16 natively (f32 operands
+    # cost ~8x); scale applies to the f32 logits after the dot
+    q = q_ref[:]
 
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
@@ -81,10 +83,10 @@ def _flash_kernel(
         k_blk = k_ref[pl.ds(ki * block_k, block_k), :]
         v_blk = v_ref[pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(
-            q, k_blk.astype(jnp.float32),
+            q, k_blk,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK) f32
         if masked:
             k_ids = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1

@@ -116,16 +116,20 @@ def _dq_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def compute():
-        q = q_ref[:].astype(jnp.float32) * scale
-        do = do_ref[:].astype(jnp.float32)
+        # operands stay in the input dtype for every dot (MXU-native bf16
+        # with f32 accumulation; f32 operands cost ~8x). scale moves onto
+        # the f32 logits; computed f32 tensors (p, ds) round to the input
+        # dtype before their dots — the standard FA-2 TPU practice.
+        q = q_ref[:]
+        do = do_ref[:]
         lse = lse_ref[0, :].reshape(block_q, 1)
         delta = delta_ref[0, :].reshape(block_q, 1)
-        k_blk = k_ref[:].astype(jnp.float32)
-        v_blk = v_ref[:].astype(jnp.float32)
+        k_blk = k_ref[:]
+        v_blk = v_ref[:]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         p = jnp.exp(s - lse)
         ok = _mask_block(
             q_start, k_start, block_q, block_k,
@@ -140,7 +144,7 @@ def _dq_kernel(
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         acc_ref[:] += jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -192,16 +196,18 @@ def _dkv_kernel(
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def compute():
-        k_blk = k_ref[:].astype(jnp.float32)
-        v_blk = v_ref[:].astype(jnp.float32)
-        q_blk = q_ref[:].astype(jnp.float32) * scale
-        do_blk = do_ref[:].astype(jnp.float32)
+        # bf16 operands for every dot (see _dq_kernel note); scale moves
+        # onto the f32 logits and onto dk at the final write
+        k_blk = k_ref[:]
+        v_blk = v_ref[:]
+        q_blk = q_ref[:]
+        do_blk = do_ref[:]
         lse = lse_ref[0, :].reshape(block_q, 1)
         delta = delta_ref[0, :].reshape(block_q, 1)
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK)
         p = jnp.exp(s - lse)
         ok = _mask_block(
             q_start, k_start, block_q, block_k,
@@ -213,18 +219,18 @@ def _dkv_kernel(
         if ok is not None:
             p = jnp.where(ok, p, 0.0)
         dv_acc[:] += jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BK, D)
         dp = jax.lax.dot_general(
             do_blk, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q_blk.dtype)
         dk_acc[:] += jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BK, D); q_blk is pre-scaled => dk already includes scale
+        )  # (BK, D); unscaled q => scale applies at the final write
 
     if causal:
         # q blocks whose last row still precedes k_start see none of it
@@ -236,7 +242,7 @@ def _dkv_kernel(
 
     @pl.when(qi == num_q - 1)
     def _():
-        dk_ref[:] = dk_acc[:]
+        dk_ref[:] = dk_acc[:] * scale
         dv_ref[:] = dv_acc[:]
 
 

@@ -102,7 +102,8 @@ def _paged_kernel(
 
     # live pages: ceil(seq_len / page_size); later grid steps only pass through
     n_used = (seq_len + page_size - 1) // page_size
-    q = q_ref[:].astype(jnp.float32) * scale
+    # bf16 operands (MXU-native); scale the f32 logits after the dot
+    q = q_ref[:]
 
     # one grid step streams `pb` pages as independent block operands — their
     # DMAs overlap instead of paying one tiny-transfer latency per grid step
@@ -115,10 +116,10 @@ def _paged_kernel(
         def _compute(j=j, page_idx=page_idx):
             k_ref, v_ref = kv_refs[2 * j], kv_refs[2 * j + 1]
             s = jax.lax.dot_general(
-                q, k_ref[:].astype(jnp.float32),
+                q, k_ref[:],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (G, PS)
+            ) * scale  # (G, PS)
             pos = page_idx * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 1
             )

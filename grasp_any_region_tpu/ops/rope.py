@@ -154,6 +154,33 @@ def apply_rope_2d(
     return jnp.concatenate([prefix, rotated.astype(x.dtype)], axis=2)
 
 
+def rope_pair_tables(
+    angles: jnp.ndarray, s_pad: int, num_prefix: int = 1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-layer cos/sin tables in HEAD-PAIR layout for the fused ViT
+    attention kernel (ops/vit_attention.vit_attention_fused_qkv).
+
+    angles: (H, N, D/2) -> (H/2, s_pad, 2*D) f32 where consecutive head
+    pairs share a 128-lane slice. Prefix (CLS) rows and padded tail rows get
+    the identity rotation (cos=1, sin=0) — pad rows are masked as keys and
+    dropped as queries anyway.
+    """
+    h, n, half = angles.shape
+    d = 2 * half
+    assert h % 2 == 0, "pair layout needs an even head count"
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    cos = jnp.concatenate([cos, cos], axis=-1)  # (H, N, D) duplicated halves
+    sin = jnp.concatenate([sin, sin], axis=-1)
+    pad_after = s_pad - num_prefix - n
+    cos = jnp.pad(cos, ((0, 0), (num_prefix, pad_after), (0, 0)),
+                  constant_values=1.0)
+    sin = jnp.pad(sin, ((0, 0), (num_prefix, pad_after), (0, 0)))
+    cos2 = cos.reshape(h // 2, 2, s_pad, d).transpose(0, 2, 1, 3)
+    sin2 = sin.reshape(h // 2, 2, s_pad, d).transpose(0, 2, 1, 3)
+    return cos2.reshape(h // 2, s_pad, 2 * d), sin2.reshape(h // 2, s_pad, 2 * d)
+
+
 def apply_rope_2d_tshd(
     x: jnp.ndarray, angles: jnp.ndarray, num_prefix: int = 1
 ) -> jnp.ndarray:

@@ -17,18 +17,21 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.0 ** 30
 
 
 def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *lse_ref,
                      scale: float, kv_valid: int, s_pad: int):
-    q = q_ref[:].astype(jnp.float32) * scale  # (S, D)
-    k = k_ref[:]
+    # operands stay in the input dtype: the MXU consumes bf16 natively with
+    # f32 accumulation, while f32 x f32 dots cost ~8x (measured 28 ms/layer
+    # of the 57 ms ViT block — the single largest vision cost). Upcasting
+    # bf16 inputs adds no information; scale applies to the f32 logits.
     s = jax.lax.dot_general(
-        q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (S, S)
+    ) * scale  # (S, S) f32
     if kv_valid < s_pad:
         ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(ids < kv_valid, s, NEG_INF)
@@ -74,6 +77,105 @@ def _vit_attn_bwd(res, g):
 
 
 vit_attention_df.defvjp(_vit_attn_fwd, _vit_attn_bwd)
+
+
+def _fused_qkv_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
+                      scale: float, kv_valid: int, head_dim: int,
+                      interpret: bool):
+    """One program = one (head pair, tile): q/k/v are 128-lane slices read
+    straight from the fused (T, S, 3D) qkv buffer; rope applied in-kernel."""
+    s_pad = q_ref.shape[0]
+    d = head_dim
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+
+    def rope(z):
+        # rotate_half within each 64-lane head group on the 128-lane pair:
+        # rh[i] = -z[i+32] for lane%64 < 32 else z[i-32]; the global roll's
+        # wrap-around lands in the discarded half of the select
+        n = z.shape[-1]
+        half = d // 2
+        if interpret:
+            fwd = jnp.roll(z, n - half, axis=-1)
+            bwd = jnp.roll(z, half, axis=-1)
+        else:
+            fwd = pltpu.roll(z, n - half, 1)
+            bwd = pltpu.roll(z, half, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        rh = jnp.where(lane % d < half, -fwd, bwd)
+        return z * cos + rh * sin
+
+    # rope in f32 on the VPU, then back to the input dtype: the MXU runs
+    # bf16 x bf16 -> f32 natively; f32 operands would cost ~8x
+    q = rope(q_ref[:].astype(jnp.float32)).astype(q_ref.dtype)
+    k = rope(k_ref[:].astype(jnp.float32)).astype(k_ref.dtype)
+    v = v_ref[:]
+    outs = []
+    for i in range(2):
+        qi = q[:, i * d:(i + 1) * d]
+        ki = k[:, i * d:(i + 1) * d]
+        vi = v[:, i * d:(i + 1) * d]
+        s = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (S, S) f32
+        if kv_valid < s_pad:
+            ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(ids < kv_valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(vi.dtype), vi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def vit_attention_fused_qkv(
+    qkv: jnp.ndarray,   # (T, S_pad, 3D) from ops/vit_block.vit_ln_qkv
+    cos2: jnp.ndarray,  # (H/2, S_pad, 128) rope pair tables (ops/rope.py)
+    sin2: jnp.ndarray,
+    num_heads: int,
+    head_dim: int,
+    *,
+    kv_valid: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transpose-free ViT attention: head PAIRS (2 x 64 lanes = one aligned
+    128-lane block) are sliced straight out of the fused qkv buffer, rope is
+    applied inside the kernel, and the output lands token-major (T, S, D) —
+    no head-major round trips (two ~280 MB copies each way at 136 tiles).
+    kv_valid masks both the pad tail and nothing else (non-causal)."""
+    t, s_pad, n3 = qkv.shape
+    h, d = num_heads, head_dim
+    dm = h * d
+    assert n3 == 3 * dm and h % 2 == 0 and 2 * d == 128, (n3, h, d)
+    hp = h // 2
+    if scale is None:
+        scale = d ** -0.5
+
+    kernel = functools.partial(
+        _fused_qkv_kernel, scale=scale, kv_valid=kv_valid, head_dim=d,
+        interpret=interpret,
+    )
+    # q pairs are 128-lane blocks 0..hp-1, k pairs hp..2hp-1, v 2hp..3hp-1
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp, t),  # t fastest: the pair's rope table loads once per j
+        in_specs=[
+            pl.BlockSpec((None, s_pad, 2 * d), lambda j, ti: (ti, 0, j)),
+            pl.BlockSpec((None, s_pad, 2 * d), lambda j, ti, hp=hp: (ti, 0, hp + j)),
+            pl.BlockSpec((None, s_pad, 2 * d), lambda j, ti, hp=hp: (ti, 0, 2 * hp + j)),
+            pl.BlockSpec((None, s_pad, 2 * d), lambda j, ti: (j, 0, 0)),
+            pl.BlockSpec((None, s_pad, 2 * d), lambda j, ti: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, s_pad, 2 * d), lambda j, ti: (ti, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((t, s_pad, dm), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, cos2, sin2)
+    return out
 
 
 def vit_attention(

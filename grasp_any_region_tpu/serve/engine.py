@@ -68,6 +68,13 @@ class EngineConfig:
     # exits early once every active slot is done). 1 = fully synchronous
     # per-token scheduling.
     decode_chunk: int = 1
+    # TTFT fairness: when set and other slots are DECODING, a newly queued
+    # request's prompt prefills this many tokens per engine cycle
+    # (llama_prefill_chunk q-suffix attention) instead of stalling every
+    # active stream for the whole prefill. The vision/replay pass still
+    # runs whole (one call) — only the decoder sweep is chunked. Admissions
+    # into an idle engine keep the batched whole-prompt path.
+    prefill_chunk: Optional[int] = None
 
 
 class StepEvent(NamedTuple):
@@ -81,6 +88,21 @@ class _SlotState:
     request_id: int
     pages: List[int]
     tokens: List[int] = field(default_factory=list)
+
+
+@dataclass
+class _PrefillJob:
+    """A chunked prefill in flight (prefill_chunk scheduling)."""
+
+    request_id: int
+    slot: int
+    plen: int
+    pages: List[int]
+    embeds: object       # (1, S, D) full prompt embeds (device)
+    input_ids: object    # (1, S) for position bookkeeping
+    pos: int = 0         # next chunk start
+    kv: object = None    # (k, v) (L, 1, P, Kh, Dh) accumulated
+    last_hidden: object = None  # (1, C, D) of the final chunk
 
 
 class ContinuousBatchingEngine:
@@ -132,6 +154,39 @@ class ContinuousBatchingEngine:
 
         self._prefill_fn = _prefill
         self._seed_fn = jax.jit(write_prompt_pages, donate_argnums=(0, 1))
+
+        @partial(jax.jit, static_argnames=("self_cfg",))
+        def _embeds(params, self_cfg, batch):
+            from ..models.gar import build_prefill_embeds
+
+            return build_prefill_embeds(
+                params, self_cfg, batch,
+                mask_compat=ecfg.mask_compat,
+                double_scale_compat=ecfg.double_scale_compat,
+            )
+
+        @jax.jit
+        def _chunk(params, embeds_c, positions, kv):
+            from ..models.llama import llama_prefill_chunk
+
+            return llama_prefill_chunk(
+                params["llm"], cfg.text, embeds_c, positions, kv
+            )
+
+        @jax.jit
+        def _tok0(params, hidden_c, idx):
+            last = hidden_c[0, idx]
+            logits = lm_logits(
+                params["llm"], cfg.text, last,
+                valid_vocab=cfg.extended_vocab_size,
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(1)
+
+        self._embeds_fn = _embeds
+        self._chunk_fn = _chunk
+        self._tok0_fn = _tok0
+        self._prefill_jobs: List[_PrefillJob] = []
+        self._reserved: set = set()
 
         use_fused = bool(ecfg.use_fused)
 
@@ -250,7 +305,11 @@ class ContinuousBatchingEngine:
         return rid
 
     def has_work(self) -> bool:
-        return bool(self.queue) or bool(self.active.any())
+        return (
+            bool(self.queue)
+            or bool(self.active.any())
+            or bool(self._prefill_jobs)
+        )
 
     def run(self, on_event=None) -> Dict[int, List[int]]:
         """Drain the queue to completion; returns request_id -> token ids.
@@ -296,8 +355,21 @@ class ContinuousBatchingEngine:
         per-admission fetch costs nearly a full prefill replay. The device
         tok0s queue in self._deferred; the decode window seeds them into
         `cur` and returns them inside its single packed fetch."""
+        if (
+            defer_tok0
+            and self.ecfg.prefill_chunk
+            and self.active.any()
+            and self.queue
+        ):
+            # streams are decoding: start chunked prefills instead of
+            # stalling every slot for a whole prompt (TTFT fairness)
+            self._start_chunked_prefills()
+            return
         while self.queue:
-            free_slots = [i for i in range(self.ecfg.slots) if not self.active[i]]
+            free_slots = [
+                i for i in range(self.ecfg.slots)
+                if not self.active[i] and i not in self._reserved
+            ]
             group: List[Tuple[int, GARBatch, int, List[int]]] = []
             budget = self.allocator.free_pages
             shape0 = None
@@ -377,6 +449,83 @@ class ContinuousBatchingEngine:
                 if done0:
                     self._retire(slot)
 
+    def _start_chunked_prefills(self) -> None:
+        """Pop queued requests into _PrefillJob records: the expensive
+        vision/replay pass runs now (one call), the decoder sweep advances
+        prefill_chunk tokens per engine cycle (_advance_prefills)."""
+        while self.queue:
+            free = [
+                i for i in range(self.ecfg.slots)
+                if not self.active[i] and i not in self._reserved
+            ]
+            if not free:
+                return
+            rid, batch, plen = self.queue[0]
+            need = self._budget_pages(plen)
+            if self.allocator.free_pages < need:
+                return
+            self.queue.popleft()
+            pages = self.allocator.alloc(need)
+            embeds = self._embeds_fn(self.params, self.cfg, batch)
+            slot = free[0]
+            self._reserved.add(slot)
+            self._prefill_jobs.append(_PrefillJob(
+                request_id=rid, slot=slot, plen=plen, pages=pages,
+                embeds=embeds, input_ids=batch.input_ids,
+            ))
+
+    def _advance_prefills(self) -> None:
+        """Advance every in-flight chunked prefill by ONE chunk (lazy device
+        dispatches; the next window fetch forces them alongside decode)."""
+        c = self.ecfg.prefill_chunk
+        finished = []
+        for job in self._prefill_jobs:
+            s = job.embeds.shape[1]
+            c0 = job.pos
+            c1 = min(c0 + c, s)
+            pos = jnp.broadcast_to(
+                jnp.arange(c0, c1, dtype=jnp.int32), (1, c1 - c0)
+            )
+            hidden, kv = self._chunk_fn(
+                self.params, job.embeds[:, c0:c1], pos, job.kv
+            )
+            job.kv = kv
+            job.pos = c1
+            if c0 <= job.plen - 1 < c1:
+                job.last_hidden = (hidden, c0)
+            # remaining chunks past the prompt are pure right-padding: the
+            # causal mask keeps their garbage keys invisible, and the seed
+            # below only writes plen tokens — skip them entirely
+            if c1 >= s or c1 >= job.plen:
+                finished.append(job)
+        for job in finished:
+            self._prefill_jobs.remove(job)
+            self._finish_prefill(job)
+
+    def _finish_prefill(self, job: _PrefillJob) -> None:
+        mp = self.ecfg.max_pages_per_slot
+        page_vec = np.zeros(mp, np.int32)
+        page_vec[: len(job.pages)] = job.pages
+        ks, vs = job.kv  # (L, 1, P, Kh, Dh)
+        self.k_pool, self.v_pool = self._seed_fn(
+            self.k_pool, self.v_pool, ks[:, 0], vs[:, 0],
+            jnp.asarray(page_vec), jnp.asarray(job.plen, jnp.int32),
+        )
+        hidden, h0 = job.last_hidden
+        tok0 = self._tok0_fn(
+            self.params, hidden, jnp.asarray(job.plen - 1 - h0, jnp.int32)
+        )
+        slot = job.slot
+        self.block_table[slot] = page_vec
+        self.seq_lens[slot] = job.plen
+        self.active[slot] = True
+        self.slots[slot] = _SlotState(
+            request_id=job.request_id, pages=job.pages, tokens=[]
+        )
+        self._reserved.discard(slot)
+        self._deferred.append(([slot], tok0))
+        self._fresh.add(slot)
+
     def _retire(self, slot: int) -> None:
         st = self.slots[slot]
         self.finished[st.request_id] = st.tokens
@@ -435,8 +584,11 @@ class ContinuousBatchingEngine:
                     on_event(ev)
             self._pending_events = []
         while self.has_work():
+            self._advance_prefills()
             self._admit(defer_tok0=True)
             if not self.active.any():
+                if self._prefill_jobs:
+                    continue  # chunked prefills will activate their slots
                 if self.queue:
                     rid, _, plen = self.queue[0]
                     raise RuntimeError(

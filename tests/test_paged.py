@@ -188,6 +188,41 @@ def test_engine_chunked_decode_matches_per_token(rng):
     assert results[0] == results[1]
 
 
+def test_engine_chunked_prefill_matches_whole(rng):
+    """TTFT chunked prefill (prefill_chunk: a queued request's decoder sweep
+    advances one chunk per cycle while other slots decode) must emit
+    token-for-token the same sequences as whole-prompt admission."""
+    from grasp_any_region_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    cfg, params, batches = _tiny_setup(91)
+    max_new = 6
+    base = dict(slots=2, page_size=16, num_pages=128, max_pages_per_slot=64,
+                max_new_tokens=max_new, eot_id=-1, mask_compat=False,
+                decode_chunk=3)
+    # reference: whole-prompt admissions
+    eng0 = ContinuousBatchingEngine(params, cfg, EngineConfig(**base),
+                                    dtype=jnp.float32)
+    ids0 = [eng0.submit(b, int(np.asarray(p)[0])) for b, p in batches[:2]]
+    out0 = eng0.run()
+
+    # chunked: admit request 0 first so a stream is ACTIVE, then queue
+    # request 1 — the busy engine must take the chunked path for it
+    eng1 = ContinuousBatchingEngine(
+        params, cfg, EngineConfig(prefill_chunk=8, **base),
+        dtype=jnp.float32)
+    rid_a = eng1.submit(*[(b, int(np.asarray(p)[0])) for b, p in batches[:1]][0])
+    eng1._admit(defer_tok0=True)
+    assert eng1.active.any()
+    rid_b = eng1.submit(batches[1][0], int(np.asarray(batches[1][1])[0]))
+    chunk_calls = []
+    orig = eng1._chunk_fn
+    eng1._chunk_fn = lambda *a: (chunk_calls.append(1), orig(*a))[1]
+    out1 = eng1.run()
+    assert len(chunk_calls) >= 2, "chunked path must actually run"
+    assert out1[rid_a] == out0[ids0[0]]
+    assert out1[rid_b] == out0[ids0[1]]
+
+
 def test_paged_fused_step_matches_reference(rng):
     """The weight-streaming paged decode step (Pallas interpret on CPU) must
     match the plain-XLA paged step bit-for-bit in structure (fp32 tolerance).

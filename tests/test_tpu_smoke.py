@@ -187,3 +187,67 @@ def test_int8_layer_matmul_compiles_and_matches():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=8e-2 * float(np.abs(np.asarray(ref)).max()), rtol=0,
     )
+
+
+def test_mega_decode_step_compiles_and_matches():
+    """3-call megakernel decode layer (ops/decode_megakernel.py): in-kernel
+    rms_norm + flat-lane pltpu.roll rope, attention+wo accumulation over
+    the kv-head grid axis, fused MLP — all must compile under Mosaic and
+    match the XLA step."""
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import (
+        KVCache,
+        llama_decode_step,
+        llama_decode_step_mega,
+    )
+
+    cfg = gar_tiny().text
+    params = init_gar_params(jax.random.PRNGKey(0), gar_tiny(), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    b, s_max, pad = 8, 512, 128
+    cache0 = KVCache(
+        k=jnp.asarray(rng.standard_normal(
+            (cfg.num_layers, b, cfg.num_kv_heads, s_max, cfg.head_dim)), jnp.bfloat16),
+        v=jnp.asarray(rng.standard_normal(
+            (cfg.num_layers, b, cfg.num_kv_heads, s_max, cfg.head_dim)), jnp.bfloat16),
+        prompt_lens=jnp.asarray(rng.integers(10, pad, b), jnp.int32),
+        write_pos=jnp.asarray(pad, jnp.int32),
+    )
+    embeds = jnp.asarray(rng.standard_normal((b, 1, cfg.hidden_size)), jnp.bfloat16)
+
+    h_ref, c_ref = jax.jit(
+        lambda e, c: llama_decode_step(params["llm"], cfg, e, c, pad, use_kernel=False)
+    )(embeds, cache0)
+    h_mega, c_mega = jax.jit(
+        lambda e, c: llama_decode_step_mega(params["llm"], cfg, e, c, pad)
+    )(embeds, cache0)
+    np.testing.assert_allclose(
+        np.asarray(h_ref, np.float32), np.asarray(h_mega, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_ref.k, np.float32), np.asarray(c_mega.k, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_fused_vit_blocks_compile_and_match():
+    """4-kernel fused ViT layer stack (ops/vit_block.py + the transpose-free
+    pair attention) vs the XLA composition, at real head_dim 64."""
+    from grasp_any_region_tpu.core.config import VisionConfig
+    from grasp_any_region_tpu.models.vision import init_vision_params, vision_forward
+
+    cfg = VisionConfig(width=128, depth=2, num_heads=2, mlp_ratio=2.0,
+                       img_size=(112, 112), patch_size=14, rope_mixed=True)
+    params = init_vision_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    pix = jnp.asarray(rng.standard_normal((2, 3, 112, 112)), jnp.bfloat16)
+    ref = jax.jit(lambda p: vision_forward(
+        params, cfg, p, use_flash=False, fused_blocks=False))(pix)
+    fused = jax.jit(lambda p: vision_forward(
+        params, cfg, p, fused_blocks=True))(pix)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32),
+        atol=6e-2, rtol=6e-2,
+    )
