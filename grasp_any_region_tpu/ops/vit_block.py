@@ -71,9 +71,21 @@ def _layer_norm_f32(xf: jnp.ndarray, w, b, eps: float) -> jnp.ndarray:
     return xf * w.astype(jnp.float32) + b.astype(jnp.float32)
 
 
+def _row_block(s: int, target: int = 512) -> int:
+    """Largest multiple-of-8 divisor of s that is <= target. LayerNorm and
+    the MLP are per-token, so streaming S in row blocks is exact — and it
+    is what keeps the (S, D) buffers inside the 16 MB scoped-VMEM limit at
+    production shapes (S=1032, D=1024 overflowed with whole-S blocks)."""
+    best = s
+    for bs in range(8, min(s, target) + 1, 8):
+        if s % bs == 0:
+            best = bs
+    return best if best <= s else s
+
+
 def _ln_qkv_kernel(x_ref, lw_ref, lb_ref, w_ref, b_ref, o_ref, xn_ref,
                    *, eps: float):
-    cb = pl.program_id(1)
+    cb = pl.program_id(2)
 
     @pl.when(cb == 0)
     def _():
@@ -104,20 +116,24 @@ def vit_ln_qkv(
     block_n = min(block_n, n)
     assert n % block_n == 0
     nb = n // block_n
+    bs = _row_block(s)
+    ns = s // bs
 
     out = pl.pallas_call(
         functools.partial(_ln_qkv_kernel, eps=eps),
-        grid=(t, nb),
+        grid=(t, ns, nb),
         in_specs=[
-            pl.BlockSpec((None, s, d), lambda ti, cb: (ti, 0, 0)),
-            pl.BlockSpec((1, d), lambda ti, cb: (0, 0)),
-            pl.BlockSpec((1, d), lambda ti, cb: (0, 0)),
-            pl.BlockSpec((d, block_n), lambda ti, cb: (0, cb)),
-            pl.BlockSpec((1, block_n), lambda ti, cb: (0, cb)),
+            pl.BlockSpec((None, bs, d), lambda ti, sb, cb: (ti, sb, 0)),
+            pl.BlockSpec((1, d), lambda ti, sb, cb: (0, 0)),
+            pl.BlockSpec((1, d), lambda ti, sb, cb: (0, 0)),
+            pl.BlockSpec((d, block_n), lambda ti, sb, cb: (0, cb)),
+            pl.BlockSpec((1, block_n), lambda ti, sb, cb: (0, cb)),
         ],
-        out_specs=pl.BlockSpec((None, s, block_n), lambda ti, cb: (ti, 0, cb)),
+        out_specs=pl.BlockSpec(
+            (None, bs, block_n), lambda ti, sb, cb: (ti, sb, cb)
+        ),
         out_shape=jax.ShapeDtypeStruct((t, s, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((s, d), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((bs, d), x.dtype)],
         interpret=interpret,
     )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
       bqkv.reshape(1, n))
@@ -150,17 +166,22 @@ def vit_wo_residual(
     if ls is None:
         ls = jnp.ones((d,), jnp.float32)
 
+    bs = _row_block(s)
+    ns = s // bs
+
     return pl.pallas_call(
         _wo_kernel,
-        grid=(t, nb),
+        grid=(t, ns, nb),
         in_specs=[
-            pl.BlockSpec((None, s, d), lambda ti, cb: (ti, 0, 0)),
-            pl.BlockSpec((None, s, block_n), lambda ti, cb: (ti, 0, cb)),
-            pl.BlockSpec((d, block_n), lambda ti, cb: (0, cb)),
-            pl.BlockSpec((1, block_n), lambda ti, cb: (0, cb)),
-            pl.BlockSpec((1, block_n), lambda ti, cb: (0, cb)),
+            pl.BlockSpec((None, bs, d), lambda ti, sb, cb: (ti, sb, 0)),
+            pl.BlockSpec((None, bs, block_n), lambda ti, sb, cb: (ti, sb, cb)),
+            pl.BlockSpec((d, block_n), lambda ti, sb, cb: (0, cb)),
+            pl.BlockSpec((1, block_n), lambda ti, sb, cb: (0, cb)),
+            pl.BlockSpec((1, block_n), lambda ti, sb, cb: (0, cb)),
         ],
-        out_specs=pl.BlockSpec((None, s, block_n), lambda ti, cb: (ti, 0, cb)),
+        out_specs=pl.BlockSpec(
+            (None, bs, block_n), lambda ti, sb, cb: (ti, sb, cb)
+        ),
         out_shape=jax.ShapeDtypeStruct((t, s, d), x.dtype),
         interpret=interpret,
     )(attn, x, wo, bo.reshape(1, d), ls.reshape(1, d))
@@ -169,7 +190,7 @@ def vit_wo_residual(
 def _mlp_kernel(x_ref, lw_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 ls_ref, o_ref, xn_ref, acc_ref, *, eps: float,
                 num_blocks: int, fast_gelu: bool):
-    mb = pl.program_id(1)
+    mb = pl.program_id(2)
 
     @pl.when(mb == 0)
     def _():
@@ -216,6 +237,8 @@ def vit_mlp_residual(
     block_m = min(block_m, m)
     assert m % block_m == 0
     nb = m // block_m
+    bs = _row_block(s)
+    ns = s // bs
     if ls is None:
         ls = jnp.ones((d,), jnp.float32)
 
@@ -223,22 +246,22 @@ def vit_mlp_residual(
         functools.partial(
             _mlp_kernel, eps=eps, num_blocks=nb, fast_gelu=fast_gelu
         ),
-        grid=(t, nb),
+        grid=(t, ns, nb),
         in_specs=[
-            pl.BlockSpec((None, s, d), lambda ti, mb: (ti, 0, 0)),
-            pl.BlockSpec((1, d), lambda ti, mb: (0, 0)),
-            pl.BlockSpec((1, d), lambda ti, mb: (0, 0)),
-            pl.BlockSpec((d, block_m), lambda ti, mb: (0, mb)),
-            pl.BlockSpec((1, block_m), lambda ti, mb: (0, mb)),
-            pl.BlockSpec((block_m, d), lambda ti, mb: (mb, 0)),
-            pl.BlockSpec((1, d), lambda ti, mb: (0, 0)),
-            pl.BlockSpec((1, d), lambda ti, mb: (0, 0)),
+            pl.BlockSpec((None, bs, d), lambda ti, sb, mb: (ti, sb, 0)),
+            pl.BlockSpec((1, d), lambda ti, sb, mb: (0, 0)),
+            pl.BlockSpec((1, d), lambda ti, sb, mb: (0, 0)),
+            pl.BlockSpec((d, block_m), lambda ti, sb, mb: (0, mb)),
+            pl.BlockSpec((1, block_m), lambda ti, sb, mb: (0, mb)),
+            pl.BlockSpec((block_m, d), lambda ti, sb, mb: (mb, 0)),
+            pl.BlockSpec((1, d), lambda ti, sb, mb: (0, 0)),
+            pl.BlockSpec((1, d), lambda ti, sb, mb: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, s, d), lambda ti, mb: (ti, 0, 0)),
+        out_specs=pl.BlockSpec((None, bs, d), lambda ti, sb, mb: (ti, sb, 0)),
         out_shape=jax.ShapeDtypeStruct((t, s, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((s, d), x.dtype),
-            pltpu.VMEM((s, d), jnp.float32),
+            pltpu.VMEM((bs, d), x.dtype),
+            pltpu.VMEM((bs, d), jnp.float32),
         ],
         interpret=interpret,
     )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
