@@ -1,0 +1,118 @@
+"""SAM mask-decoder ONNX export (sam/onnx_export.py).
+
+The torch mirror must reproduce the JAX decoder tensor-for-tensor, and the
+serialized file must be a valid ONNX ModelProto with the official SAM
+decoder interface the reference browser frontend feeds
+(demo/gradio/frontend/src/components/helpers/onnxModelAPI.tsx:60-68).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from grasp_any_region_tpu.sam.model import (  # noqa: E402
+    SAMConfig,
+    decode_masks,
+    encode_points,
+    init_sam_params,
+)
+from grasp_any_region_tpu.sam.onnx_export import (  # noqa: E402
+    build_torch_decoder,
+    export_mask_decoder_onnx,
+)
+
+
+def _tiny_cfg():
+    # grid 8 (img 128 / patch 16), decoder shapes fully exercised
+    return SAMConfig(img_size=128, embed_dim=64, depth=1, num_heads=2,
+                     global_attn_indexes=(0,), out_chans=64,
+                     decoder_mlp_dim=128)
+
+
+def _np(x):
+    return np.asarray(x, np.float32)
+
+
+def test_torch_decoder_matches_jax(rng):
+    cfg = _tiny_cfg()
+    params = jax.tree_util.tree_map(
+        np.asarray, init_sam_params(jax.random.PRNGKey(0), cfg)
+    )
+    g = cfg.grid
+    emb = rng.standard_normal((1, cfg.out_chans, g, g)).astype(np.float32)
+    pts01 = np.array([[[0.3, 0.6], [0.8, 0.2], [0.0, 0.0]]], np.float32)
+    labels = np.array([[1.0, 0.0, -1.0]], np.float32)
+
+    sparse = encode_points(params, jnp.asarray(pts01), jnp.asarray(labels))
+    masks_j, iou_j = decode_masks(params, cfg, jnp.asarray(emb), sparse)
+
+    mod = build_torch_decoder(params, cfg, return_single_mask=False)
+    with torch.no_grad():
+        masks_t, iou_t, low_t = mod(
+            torch.from_numpy(emb),
+            torch.from_numpy(pts01 * cfg.img_size),  # SAM-pixel space
+            torch.from_numpy(labels),
+            torch.zeros(1, 1, 4 * g, 4 * g),
+            torch.zeros(1),
+            torch.tensor([float(cfg.img_size), float(cfg.img_size)]),
+        )
+    np.testing.assert_allclose(
+        low_t.numpy(), _np(masks_j), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(iou_t.numpy(), _np(iou_j), rtol=1e-4, atol=1e-4)
+    # square orig_im_size == img_size: postprocess is a pure 4x upsample
+    assert masks_t.shape == (1, cfg.num_multimask_outputs + 1,
+                             cfg.img_size, cfg.img_size)
+
+
+def test_single_mask_selection_matches_predict(rng):
+    cfg = _tiny_cfg()
+    params = jax.tree_util.tree_map(
+        np.asarray, init_sam_params(jax.random.PRNGKey(1), cfg)
+    )
+    g = cfg.grid
+    emb = rng.standard_normal((1, cfg.out_chans, g, g)).astype(np.float32)
+    pts01 = np.array([[[0.5, 0.5]]], np.float32)
+    labels = np.array([[1.0]], np.float32)
+
+    sparse = encode_points(params, jnp.asarray(pts01), jnp.asarray(labels))
+    masks_j, iou_j = decode_masks(params, cfg, jnp.asarray(emb), sparse)
+    best = int(np.argmax(_np(iou_j)[0, 1:])) + 1
+
+    mod = build_torch_decoder(params, cfg, return_single_mask=True)
+    with torch.no_grad():
+        _, iou_t, low_t = mod(
+            torch.from_numpy(emb),
+            torch.from_numpy(pts01 * cfg.img_size),
+            torch.from_numpy(labels),
+            torch.zeros(1, 1, 4 * g, 4 * g),
+            torch.zeros(1),
+            torch.tensor([64.0, 128.0]),
+        )
+    assert low_t.shape == (1, 1, 4 * g, 4 * g)
+    np.testing.assert_allclose(
+        low_t[0, 0].numpy(), _np(masks_j)[0, best], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        float(iou_t[0, 0]), float(iou_j[0, best]), rtol=1e-4)
+
+
+def test_export_writes_valid_modelproto(tmp_path):
+    cfg = _tiny_cfg()
+    params = jax.tree_util.tree_map(
+        np.asarray, init_sam_params(jax.random.PRNGKey(2), cfg)
+    )
+    out = tmp_path / "sam_decoder.onnx"
+    export_mask_decoder_onnx(params, cfg, str(out))
+    data = out.read_bytes()
+    assert len(data) > 10_000
+    # ModelProto field 1 (ir_version, varint) then field 2/8 producer bytes;
+    # without the onnx package, check the protobuf framing + required
+    # strings directly
+    assert data[0] == 0x08  # field 1, varint ir_version
+    assert b"pytorch" in data[:64]
+    for name in (b"image_embeddings", b"point_coords", b"point_labels",
+                 b"mask_input", b"has_mask_input", b"orig_im_size",
+                 b"masks", b"iou_predictions", b"low_res_masks"):
+        assert name in data, name.decode()
