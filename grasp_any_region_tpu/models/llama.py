@@ -20,7 +20,8 @@ re-designed for XLA:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+import os
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -240,7 +241,7 @@ def llama_decode_step(
     cache: KVCache,
     prompt_pad: int,
     *,
-    use_kernel: Optional[bool] = None,
+    use_kernel: Union[bool, str, None] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One token step.
 
@@ -249,17 +250,30 @@ def llama_decode_step(
     The cache is threaded through the layer loop as CARRY and written with
     scalar-start dynamic_update_slice — XLA keeps it in place; a per-row
     scatter (or scan ys) would copy the whole cache every step.
-    use_kernel: Pallas decode-attention kernel (None = auto: on for TPU).
+    use_kernel: decode-path selector. False = plain XLA (required under a
+    multi-chip mesh); "fused" = 6 layer-indexed Pallas calls/layer;
+    "mega" = 3 megakernel calls/layer (ops/decode_megakernel.py);
+    True/None = auto: on TPU pick the Pallas path (GAR_DECODE_PATH env
+    overrides fused/mega for A/B benching) when the per-layer qkv weights
+    fit scoped VMEM.
     """
     b = inputs_embeds.shape[0]
-    if use_kernel is None:
+    if use_kernel is None or use_kernel is True:
         # the fused/mega qkv kernels hold one layer's whole q/k/v weights in
         # VMEM (grid 1): fine for GAR-1B (12 MB) but over the 16 MB scoped
         # limit at GAR-8B's hidden 4096 (32 MB for wq alone) unless the
         # weights arrive tensor-parallel-sharded
         d = cfg.hidden_size
         qkv_bytes = 2 * d * (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
-        use_kernel = jax.default_backend() == "tpu" and qkv_bytes <= 13 * 2 ** 20
+        if jax.default_backend() == "tpu" and qkv_bytes <= 13 * 2 ** 20:
+            # fused (6 calls/layer) measured faster e2e than mega (3
+            # calls/layer) in BOTH dtypes: bf16 3611 vs 3861 ms, int8 3290
+            # vs 3342 ms at B=8 — see docs/PERF_NOTES.md round-3 addendum 3
+            use_kernel = os.environ.get("GAR_DECODE_PATH", "fused")
+        else:
+            use_kernel = False
+    if use_kernel == "mega":
+        return llama_decode_step_mega(params, cfg, inputs_embeds, cache, prompt_pad)
     if use_kernel:
         # fully-fused path: layer-indexed weight streaming + in-kernel cache
         # append; ~1.75x faster per token than the sliced path (PERF_NOTES)

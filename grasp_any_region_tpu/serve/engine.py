@@ -23,6 +23,7 @@ serve_judge.sh). Greedy decoding matches all reference evals
 
 from __future__ import annotations
 
+import os
 from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
@@ -135,7 +136,16 @@ class ContinuousBatchingEngine:
         # cur, and the slots whose tok0 the next window fetch must resolve
         self._deferred: List[Tuple[List[int], jnp.ndarray]] = []
         self._fresh: set = set()
+        # slot -> (ks (L,S,K,D), vs, plen, page_vec): prompt K/V admitted
+        # this cycle whose page seeding is deferred past the next window
+        # (burst fast path — see _decode_window_fresh)
+        self._fresh_kv: Dict[int, Tuple] = {}
         self._next_id = 0
+        # host-side wall-clock per phase (GAR_ENGINE_TIMING=1 prints on
+        # run() exit). Dispatches are lazy on the axon relay, so only the
+        # window entry (which contains the cycle's single fetch) reflects
+        # device time; the others measure host/dispatch overhead.
+        self.timing: Dict[str, float] = {}
 
         @partial(jax.jit, static_argnames=("self_cfg",))
         def _prefill(params, self_cfg, batch, prompt_len):
@@ -217,32 +227,11 @@ class ContinuousBatchingEngine:
 
         self._decode_fn = _decode
 
-        @partial(jax.jit, donate_argnums=(1, 2),
-                 static_argnames=("s_base", "steps"))
-        def _decode_window(params, k_pool, v_pool, cur, block_table, seq_lens,
-                           active, rem, s_base, steps):
-            """Decode up to `steps` tokens for all slots in ONE device call.
-
-            The slots' pages gather into a dense two-interval KVCache
-            (paged_cache.gather_pages_dense) so the loop body is the static
-            generate path's llama_decode_step — in-place cache writes at
-            ~6.4 ms/step B=8 instead of the paged scatter/gather loop's
-            14-26 ms/step — then the window's new K/V flushes back to the
-            pages. eot and the per-slot token budget (`rem`) are checked ON
-            DEVICE: finished slots freeze and the while_loop exits early
-            once every active slot is done. ONE host fetch covers the whole
-            window (the relay charges per fetch: docs/PERF_NOTES.md)."""
-            from ..models.llama import KVCache, llama_decode_step
-            from .paged_cache import flush_window_pages, gather_pages_dense
+        def _window_loop(params, cache0, cur, active, rem, s_base, steps):
+            """Shared windowed-decode while_loop (see _decode_window)."""
+            from ..models.llama import llama_decode_step
 
             eot = e_eot
-            kd, vd = gather_pages_dense(
-                k_pool, v_pool, block_table, s_base, steps
-            )
-            cache0 = KVCache(
-                k=kd, v=vd, prompt_lens=seq_lens,
-                write_pos=jnp.asarray(s_base, jnp.int32),
-            )
 
             def cond(st):
                 i, cur, counts, done, cache, out = st
@@ -280,19 +269,91 @@ class ContinuousBatchingEngine:
             (_, cur, counts, done, cache, out) = jax.lax.while_loop(
                 cond, body, (i0, cur, counts0, done_init, cache0, out0),
             )
-            k_pool, v_pool = flush_window_pages(
-                k_pool, v_pool, cache.k, cache.v, block_table,
-                seq_lens, counts, s_base, steps,
-            )
             # ONE fetchable array: row 0 = the input cur (deferred tok0s for
             # fresh slots), row 1 = per-slot new-token counts, rows 2.. =
             # the window's tokens
             packed = jnp.concatenate([cur0[None], counts[None], out], axis=0)
+            return packed, cache, counts
+
+        @partial(jax.jit, donate_argnums=(1, 2),
+                 static_argnames=("s_base", "steps"))
+        def _decode_window(params, k_pool, v_pool, cur, block_table, seq_lens,
+                           active, rem, s_base, steps):
+            """Decode up to `steps` tokens for all slots in ONE device call.
+
+            The slots' pages gather into a dense two-interval KVCache
+            (paged_cache.gather_pages_dense) so the loop body is the static
+            generate path's llama_decode_step — in-place cache writes at
+            ~6.4 ms/step B=8 instead of the paged scatter/gather loop's
+            14-26 ms/step — then the window's new K/V flushes back to the
+            pages. eot and the per-slot token budget (`rem`) are checked ON
+            DEVICE: finished slots freeze and the while_loop exits early
+            once every active slot is done. ONE host fetch covers the whole
+            window (the relay charges per fetch: docs/PERF_NOTES.md)."""
+            from ..models.llama import KVCache
+            from .paged_cache import flush_window_pages, gather_pages_dense
+
+            kd, vd = gather_pages_dense(
+                k_pool, v_pool, block_table, s_base, steps
+            )
+            cache0 = KVCache(
+                k=kd, v=vd, prompt_lens=seq_lens,
+                write_pos=jnp.asarray(s_base, jnp.int32),
+            )
+            packed, cache, counts = _window_loop(
+                params, cache0, cur, active, rem, s_base, steps
+            )
+            k_pool, v_pool = flush_window_pages(
+                k_pool, v_pool, cache.k, cache.v, block_table,
+                seq_lens, counts, s_base, steps,
+            )
             return packed, k_pool, v_pool
+
+        @partial(jax.jit, static_argnames=("s_base", "steps"))
+        def _decode_window_fresh(params, ks, vs, slot_idx, cur, seq_lens,
+                                 active, rem, s_base, steps):
+            """Burst-admission fast path: every live slot was admitted THIS
+            cycle, so its prompt K/V (ks/vs, (L, G, S, K, D) straight from
+            the batched prefill) feeds the dense window cache directly —
+            skipping the page-seed scatter AND the dense gather round-trip.
+            The page pools are not touched at all: the window's new K/V
+            returns as dense (L, slots, K, steps, D) slabs and the HOST
+            flushes/seeds pages afterward, only for slots that survive the
+            window — a request that completes within it never touches its
+            pages."""
+            from ..models.llama import KVCache
+
+            l, g, s, kh, d = ks.shape
+            slots = cur.shape[0]
+            total = ((s_base + steps + 511) // 512) * 512
+            cols = min(s, s_base)
+            kd = jnp.zeros((l, slots, kh, total, d), dtype)
+            vd = jnp.zeros((l, slots, kh, total, d), dtype)
+            kt = ks.transpose(0, 1, 3, 2, 4)[:, :, :, :cols]  # (L,G,K,c,D)
+            vt = vs.transpose(0, 1, 3, 2, 4)[:, :, :, :cols]
+            kd = kd.at[:, slot_idx, :, :cols].set(kt.astype(kd.dtype))
+            vd = vd.at[:, slot_idx, :, :cols].set(vt.astype(vd.dtype))
+            cache0 = KVCache(
+                k=kd, v=vd, prompt_lens=seq_lens,
+                write_pos=jnp.asarray(s_base, jnp.int32),
+            )
+            packed, cache, counts = _window_loop(
+                params, cache0, cur, active, rem, s_base, steps
+            )
+            kwin = cache.k[:, :, :, s_base : s_base + steps]
+            vwin = cache.v[:, :, :, s_base : s_base + steps]
+            return packed, kwin, vwin
+
+        from .paged_cache import flush_window_pages as _fwp
+
+        self._flush_fn = jax.jit(
+            _fwp, donate_argnums=(0, 1), static_argnames=("s_base", "window")
+        )
 
         e_eot = ecfg.eot_id
         e_pad = ecfg.pad_id
         self._decode_window_fn = _decode_window
+        self._decode_window_fresh_fn = _decode_window_fresh
 
     # -- client API ---------------------------------------------------------
 
@@ -325,6 +386,13 @@ class ContinuousBatchingEngine:
                     if on_event is not None:
                         on_event(ev)
         out, self.finished = self.finished, {}
+        if os.environ.get("GAR_ENGINE_TIMING") and self.timing:
+            total = sum(self.timing.values())
+            parts = " ".join(
+                f"{k}={v*1000:.0f}ms" for k, v in sorted(self.timing.items())
+            )
+            print(f"[engine timing] total={total*1000:.0f}ms {parts}")
+            self.timing = {}
         return out
 
     # -- scheduling ---------------------------------------------------------
@@ -425,10 +493,17 @@ class ContinuousBatchingEngine:
                 slot = free_slots[i]
                 page_vec = np.zeros(mp, np.int32)
                 page_vec[: len(pages)] = pages
-                self.k_pool, self.v_pool = self._seed_fn(
-                    self.k_pool, self.v_pool, ks[:, i], vs[:, i],
-                    jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
-                )
+                if defer_tok0:
+                    # defer the page-seed scatter too: the window may read
+                    # this K/V straight from the prefill output (fresh fast
+                    # path) and, if the request finishes inside the window,
+                    # the pages are never needed at all
+                    self._fresh_kv[slot] = (ks[:, i], vs[:, i], plen, page_vec)
+                else:
+                    self.k_pool, self.v_pool = self._seed_fn(
+                        self.k_pool, self.v_pool, ks[:, i], vs[:, i],
+                        jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
+                    )
                 self.block_table[slot] = page_vec
                 self.seq_lens[slot] = plen
                 self.active[slot] = True
@@ -583,9 +658,19 @@ class ContinuousBatchingEngine:
                 for ev in self._pending_events:
                     on_event(ev)
             self._pending_events = []
+        import time as _time
+
+        def _lap(name, t0):
+            t1 = _time.perf_counter()
+            self.timing[name] = self.timing.get(name, 0.0) + (t1 - t0)
+            return t1
+
         while self.has_work():
+            t0 = _time.perf_counter()
             self._advance_prefills()
+            t0 = _lap("prefill_chunks", t0)
             self._admit(defer_tok0=True)
+            t0 = _lap("admit", t0)
             if not self.active.any():
                 if self._prefill_jobs:
                     continue  # chunked prefills will activate their slots
@@ -611,18 +696,56 @@ class ContinuousBatchingEngine:
                 cur_dev = cur_dev.at[jnp.asarray(slot_list, jnp.int32)].set(tok0s)
             self._deferred = []
             # dense-cache column budget: longest live sequence, bucketed to
-            # 512-multiples of page_size so shapes (and compiles) are few
-            bucket = e.page_size * max(1, 512 // e.page_size)
+            # 256-multiples of page_size so shapes (and compiles) are few.
+            # 256 (not 512): the dense total rounds UP to the attention
+            # kernel's 512-block after adding the window, so a 512 bucket
+            # wastes up to a whole extra block of per-step KV reads (5632
+            # vs 5120 columns on the 4.7k-token bench prompt = +10%/step)
+            bucket = e.page_size * max(1, 256 // e.page_size)
             s_base = int(max(self.seq_lens[s] for s in live))
             s_base = ((s_base + bucket - 1) // bucket) * bucket
             s_base = min(s_base, e.max_pages_per_slot * e.page_size)
-            packed, self.k_pool, self.v_pool = self._decode_window_fn(
-                self.params, self.k_pool, self.v_pool,
-                cur_dev, jnp.asarray(self.block_table),
-                jnp.asarray(self.seq_lens), jnp.asarray(self.active),
-                jnp.asarray(rem), s_base=s_base, steps=e.decode_chunk,
+            # burst fast path: every live slot admitted this cycle with the
+            # same prompt shape -> feed prefill K/V straight into the dense
+            # window cache (no page seed, no gather); otherwise seed any
+            # pending fresh K/V into pages and gather as usual
+            fresh_kv = self._fresh_kv
+            use_fresh = (
+                bool(fresh_kv)
+                and all(s in fresh_kv for s in live)
+                and len({fresh_kv[s][0].shape for s in live}) == 1
             )
+            if fresh_kv and not use_fresh:
+                for s, (ks_s, vs_s, plen, page_vec) in list(fresh_kv.items()):
+                    self.k_pool, self.v_pool = self._seed_fn(
+                        self.k_pool, self.v_pool, ks_s, vs_s,
+                        jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
+                    )
+                self._fresh_kv = {}
+                fresh_kv = {}
+            t0 = _lap("window_setup", t0)
+            start_lens = self.seq_lens.copy()
+            kwin = vwin = None
+            if use_fresh:
+                order = sorted(live)
+                ks_b = jnp.stack([fresh_kv[s][0] for s in order], axis=1)
+                vs_b = jnp.stack([fresh_kv[s][1] for s in order], axis=1)
+                packed, kwin, vwin = self._decode_window_fresh_fn(
+                    self.params, ks_b, vs_b,
+                    jnp.asarray(order, jnp.int32), cur_dev,
+                    jnp.asarray(self.seq_lens), jnp.asarray(self.active),
+                    jnp.asarray(rem), s_base=s_base, steps=e.decode_chunk,
+                )
+            else:
+                packed, self.k_pool, self.v_pool = self._decode_window_fn(
+                    self.params, self.k_pool, self.v_pool,
+                    cur_dev, jnp.asarray(self.block_table),
+                    jnp.asarray(self.seq_lens), jnp.asarray(self.active),
+                    jnp.asarray(rem), s_base=s_base, steps=e.decode_chunk,
+                )
+            t0 = _lap("window_dispatch", t0)
             packed = np.asarray(packed)  # the cycle's SINGLE device fetch
+            t0 = _lap("window_fetch", t0)
             cur0, counts, toks = packed[0], packed[1], packed[2:]
             fresh, self._fresh = self._fresh, set()
             for s in live:
@@ -650,3 +773,26 @@ class ContinuousBatchingEngine:
                     or len(st.tokens) >= e.max_new_tokens
                 ):
                     self._retire(s)
+            if use_fresh:
+                # the window ran without touching the page pools; slots
+                # that SURVIVED it will be gathered from pages next window,
+                # so flush their window K/V and seed their prompt pages
+                # now. Retired slots' pages were never read — both writes
+                # are skipped entirely (the bench burst case: zero pool
+                # traffic end to end).
+                survivors = [s for s in order if self.active[s]]
+                if survivors:
+                    counts_m = np.where(self.active, counts, 0).astype(np.int32)
+                    self.k_pool, self.v_pool = self._flush_fn(
+                        self.k_pool, self.v_pool, kwin, vwin,
+                        jnp.asarray(self.block_table),
+                        jnp.asarray(start_lens), jnp.asarray(counts_m),
+                        s_base=0, window=e.decode_chunk,
+                    )
+                    for s in survivors:
+                        ks_s, vs_s, plen, page_vec = fresh_kv[s]
+                        self.k_pool, self.v_pool = self._seed_fn(
+                            self.k_pool, self.v_pool, ks_s, vs_s,
+                            jnp.asarray(page_vec), jnp.asarray(plen, jnp.int32),
+                        )
+                self._fresh_kv = {}
