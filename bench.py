@@ -77,6 +77,51 @@ def run_config(batch_size: int, iters: int = 3, quantize: bool = False):
     return caps
 
 
+def run_long_context(seq: int = 8192, iters: int = 3):
+    """Informational: long-context decoder prefill (the reference trains at
+    max_length=16384 with flash-attn, configs/gar_1b.py:28; our flash
+    forward/backward stream S in blocks — tests/test_tpu_long_context.py
+    covers the 8k/16k TRAIN step, this line benches the prefill)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_1b
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import llama_prefill
+
+    cfg = gar_1b()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def prefill(p, embeds, positions):
+        hidden, _ = llama_prefill(p["llm"], cfg.text, embeds, positions)
+        return hidden[:, -1]
+
+    key = jax.random.PRNGKey(1)
+    embeds = (
+        jax.random.normal(key, (1, seq, cfg.text.hidden_size), jnp.bfloat16)
+        * 0.02
+    )
+    positions = jnp.arange(seq, dtype=jnp.int32)[None]
+
+    def run(i):
+        e = embeds.at[0, 0, 0].set(float(i))  # defeat relay result caching
+        return float(np.asarray(prefill(params, e, positions)).sum())
+
+    run(0)
+    t0 = time.time()
+    for i in range(iters):
+        run(i + 1)
+    dt = (time.time() - t0) / iters
+    print(
+        f"[bench] long-context prefill S={seq}: {dt*1000:.0f} ms "
+        f"({seq/dt/1000:.1f}k tok/s)",
+        file=sys.stderr,
+    )
+    return seq / dt
+
+
 def run_serving(n_requests: int = 8, slots: int = 8,
                 new_tokens: int = DECODE_TOKENS, quantize: bool = False):
     """Informational: continuous-batching engine (paged KV, serve/engine.py).
@@ -139,17 +184,34 @@ def run_serving(n_requests: int = 8, slots: int = 8,
 
 
 def main():
+    import os
+
     from grasp_any_region_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    results = [run_config(b) for b in (1, 8)]
-    run_config(8, quantize=True)  # informational: int8 decode weights
+
+    def safe_run(b, **kw):
+        try:
+            return run_config(b, **kw)
+        except Exception as e:  # pragma: no cover — keep the headline alive
+            # fall back to the unpaired KV layout if the paired fused
+            # kernels ever fail to compile on this libtpu
+            print(f"[bench] B={b} failed ({e}); retrying GAR_PAIRED_KV=0",
+                  file=sys.stderr)
+            os.environ["GAR_PAIRED_KV"] = "0"
+            return run_config(b, **kw)
+
+    results = [safe_run(b) for b in (1, 8)]
+    safe_run(8, quantize=True)  # informational: int8 decode weights
     try:
         run_serving()  # informational: continuous-batching serving mode
-        run_serving(quantize=True)  # int8 serving (488 tok/s r2 — beats
-        # the static bf16 batch while admitting requests independently)
+        run_serving(quantize=True)  # int8 decode-weight serving
     except Exception as e:  # pragma: no cover - keep the headline robust
         print(f"[bench] serving config skipped: {e}", file=sys.stderr)
+    try:
+        run_long_context()  # informational: 8k decoder prefill
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] long-context config skipped: {e}", file=sys.stderr)
     best = max(results)
     print(
         json.dumps(

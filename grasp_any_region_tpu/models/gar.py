@@ -291,14 +291,27 @@ def seed_cache_from_prefill(
     seq_lens: jnp.ndarray,  # (B,) true prompt lengths
     max_len: int,
     dtype=jnp.bfloat16,
+    paired: bool = False,
 ) -> KVCache:
     """Place prefill K/V (L,B,S,K,Dh) into a head-major cache of max_len
     columns. The prompt block occupies columns [0, S) (right-padded rows
-    masked by prompt_lens); write_pos starts at S (== prompt_pad)."""
+    masked by prompt_lens); write_pos starts at S (== prompt_pad).
+
+    paired: pack kv-head PAIRS into the last axis — (L, B, K/2, S, 2*Dh) —
+    so the fused decode-attention kernel streams full 128-lane tiles
+    (Dh=64 alone wastes half of every (8,128) tile in DMA and VMEM; the
+    kernel-isolation probe measured the unpaired slab read at 2.4x its
+    bandwidth floor, docs/PERF_NOTES.md round-3). Only the TPU fused
+    decode path consumes this layout (ops/decode_attention.py infers it
+    from the cache shape)."""
     ks, vs = kv
     L, b, s, kh, dh = ks.shape
     assert max_len >= s
-    # (L, B, S, K, Dh) -> (L, B, K, S, Dh), pad columns to max_len
+    if paired:
+        assert kh % 2 == 0, "head pairing needs an even kv-head count"
+        # (L,B,S,K,Dh) -> reshape pairs (contiguous) -> (L,B,K/2,S,2Dh)
+        ks = ks.reshape(L, b, s, kh // 2, 2 * dh)
+        vs = vs.reshape(L, b, s, kh // 2, 2 * dh)
     pad = ((0, 0), (0, 0), (0, 0), (0, max_len - s), (0, 0))
     k = jnp.pad(ks.astype(dtype).transpose(0, 1, 3, 2, 4), pad)
     v = jnp.pad(vs.astype(dtype).transpose(0, 1, 3, 2, 4), pad)

@@ -90,7 +90,14 @@ def generate(
 
     # cache columns rounded up so the decode kernel's block size divides them
     max_len = ((s + max_new_tokens + 511) // 512) * 512
-    cache = seed_cache_from_prefill(cfg, kv, prompt_lens, max_len)
+    from .llama import paired_cache_wanted
+
+    cache = seed_cache_from_prefill(
+        cfg, kv, prompt_lens, max_len,
+        # head-paired layout for the single-chip fused decode kernels
+        # (multi-chip shards kv heads over 'tensor' — keep them unpaired)
+        paired=mesh is None and paired_cache_wanted(cfg.text),
+    )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

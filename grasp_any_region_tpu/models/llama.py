@@ -234,6 +234,34 @@ def llama_prefill_chunk(
     return x, (ks, vs)
 
 
+def decode_kernel_choice(cfg: TextConfig) -> Union[bool, str]:
+    """Resolve the single-chip decode path: False = plain XLA, "fused" =
+    6 layer-indexed Pallas calls/layer, "mega" = 3 megakernel calls.
+
+    The fused/mega qkv kernels hold one layer's whole q/k/v weights in
+    VMEM (grid 1): fine for GAR-1B (12 MB) but over the 16 MB scoped
+    limit at GAR-8B's hidden 4096 (32 MB for wq alone) unless the weights
+    arrive tensor-parallel-sharded. fused (6 calls/layer) measured faster
+    e2e than mega in BOTH dtypes: bf16 3611 vs 3861 ms, int8 3290 vs
+    3342 ms at B=8 — docs/PERF_NOTES.md round-3 addendum 3. Env
+    GAR_DECODE_PATH overrides for A/B benching."""
+    d = cfg.hidden_size
+    qkv_bytes = 2 * d * (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+    if jax.default_backend() == "tpu" and qkv_bytes <= 13 * 2 ** 20:
+        return os.environ.get("GAR_DECODE_PATH", "fused")
+    return False
+
+
+def paired_cache_wanted(cfg: TextConfig) -> bool:
+    """True when the decode path will be the fused Pallas kernels, which
+    read the head-PAIRED cache layout ((L, B, K/2, S, 2*Dh) — full
+    128-lane tiles instead of half-empty (8, 128) tiles at Dh=64).
+    GAR_PAIRED_KV=0 forces the unpaired layout (fallback / A-B)."""
+    if os.environ.get("GAR_PAIRED_KV", "1") == "0":
+        return False
+    return decode_kernel_choice(cfg) == "fused" and cfg.num_kv_heads % 2 == 0
+
+
 def llama_decode_step(
     params: dict,
     cfg: TextConfig,
@@ -258,20 +286,13 @@ def llama_decode_step(
     fit scoped VMEM.
     """
     b = inputs_embeds.shape[0]
+    if cache.k.shape[-1] == 2 * cfg.head_dim:
+        # head-PAIRED cache layout (seed_cache_from_prefill(paired=True)):
+        # only the fused kernel path reads it (ops/decode_attention.py
+        # infers the layout from the cache shape)
+        return llama_decode_step_fused(params, cfg, inputs_embeds, cache, prompt_pad)
     if use_kernel is None or use_kernel is True:
-        # the fused/mega qkv kernels hold one layer's whole q/k/v weights in
-        # VMEM (grid 1): fine for GAR-1B (12 MB) but over the 16 MB scoped
-        # limit at GAR-8B's hidden 4096 (32 MB for wq alone) unless the
-        # weights arrive tensor-parallel-sharded
-        d = cfg.hidden_size
-        qkv_bytes = 2 * d * (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
-        if jax.default_backend() == "tpu" and qkv_bytes <= 13 * 2 ** 20:
-            # fused (6 calls/layer) measured faster e2e than mega (3
-            # calls/layer) in BOTH dtypes: bf16 3611 vs 3861 ms, int8 3290
-            # vs 3342 ms at B=8 — see docs/PERF_NOTES.md round-3 addendum 3
-            use_kernel = os.environ.get("GAR_DECODE_PATH", "fused")
-        else:
-            use_kernel = False
+        use_kernel = decode_kernel_choice(cfg)
     if use_kernel == "mega":
         return llama_decode_step_mega(params, cfg, inputs_embeds, cache, prompt_pad)
     if use_kernel:

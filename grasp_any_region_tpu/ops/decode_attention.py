@@ -162,9 +162,111 @@ def _fused_kernel(
     o_ref[:] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
 
 
+def _fused_kernel_paired(
+    plen_ref, wpos_ref, lay_ref,  # scalar prefetch
+    q_ref,     # (2G, D) — query heads of kv pair p (heads 2p*G .. 2p*G+2G)
+    knew_ref,  # (1, 2D) — pair p's two new K heads packed into lanes
+    vnew_ref,  # (1, 2D)
+    k_ref,     # (S, 2D) paired layer slab (pre-write state)
+    v_ref,     # (S, 2D)
+    o_ref,     # (2G, D)
+    kcol_ref,  # (8, 2D) aliased 8-row window containing column wpos
+    vcol_ref,  # (8, 2D)
+    *,
+    scale: float,
+    block_s: int,
+    prompt_pad: int,
+):
+    """Head-PAIRED fused decode attention: the cache packs two kv heads
+    into the 128-lane axis ((S, 2*64) slabs) so DMA and VMEM stream full
+    (8, 128) tiles — the unpaired (S, 64) layout wastes half of every tile
+    and measured 2.4x its bandwidth floor (docs/PERF_NOTES.md round-3).
+
+    The two heads share one MXU dot via a block-diagonal trick: q is
+    embedded into (2G, 2D) with head a's queries in lanes [0, D) rows
+    [0, G) and head b's in lanes [D, 2D) rows [G, 2G); the zero blocks
+    kill the cross-head terms, so q_big @ k_blk^T yields both heads'
+    logits in one (2G, BS) result. The p @ v dot computes a (2G, 2D)
+    block whose diagonal (G, D) quadrants are the two heads' outputs."""
+    b = pl.program_id(0)
+    plen = plen_ref[b]
+    wpos = wpos_ref[0]
+    g2, d = q_ref.shape  # g2 = 2G, d = head_dim
+    g = g2 // 2
+    q = q_ref[:]
+    zeros = jnp.zeros_like(q)
+    # (2G, 2D) block-diagonal embedding of the two heads' queries
+    q_big = jnp.concatenate(
+        [
+            jnp.concatenate([q[:g], zeros[:g]], axis=1),
+            jnp.concatenate([zeros[g:], q[g:]], axis=1),
+        ],
+        axis=0,
+    )
+    k_new = knew_ref[:].reshape(1, 2 * d)
+    v_new = vnew_ref[:].reshape(1, 2 * d)
+
+    align = (wpos // 8) * 8
+    old_k = k_ref[pl.ds(align, 8), :]
+    old_v = v_ref[pl.ds(align, 8), :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+    sel = row == (wpos - align)
+    kcol_ref[:] = jnp.where(sel, k_new.astype(old_k.dtype), old_k)
+    vcol_ref[:] = jnp.where(sel, v_new.astype(old_v.dtype), old_v)
+
+    num_s = (wpos + block_s - 1) // block_s  # history strictly before wpos
+
+    def body(si, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[pl.ds(si * block_s, block_s), :]  # (BS, 2D)
+        v_blk = v_ref[pl.ds(si * block_s, block_s), :]
+        s = jax.lax.dot_general(
+            q_big, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (2G, BS), rows :G = head a, rows G: = head b
+        ids = si * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (g2, block_s), 1
+        )
+        ok = (ids < plen) | ((ids >= prompt_pad) & (ids < wpos))
+        s = jnp.where(ok, s, NEG_INF)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        alpha = jnp.exp(m_prev - m_cur)
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2G, 2D); only the diagonal quadrants are wanted
+        return m_cur, l_cur, acc
+
+    init = (
+        jnp.full((g2, 1), NEG_INF, jnp.float32),
+        jnp.zeros((g2, 1), jnp.float32),
+        jnp.zeros((g2, 2 * d), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, num_s, body, init)
+
+    # fold in the current token (see _fused_kernel): q_big's zero blocks
+    # keep the cross-head products out of the row sums
+    s_cur = jnp.sum(
+        q_big.astype(jnp.float32) * k_new.astype(jnp.float32),
+        axis=1, keepdims=True,
+    ) * scale  # (2G, 1)
+    m_f = jnp.maximum(m, s_cur)
+    alpha = jnp.exp(m - m_f)
+    p_cur = jnp.exp(s_cur - m_f)
+    l_f = l * alpha + p_cur
+    acc = acc * alpha + p_cur * v_new.astype(jnp.float32)
+    out = acc / jnp.maximum(l_f, 1e-30)  # (2G, 2D)
+    o_ref[:] = jnp.concatenate(
+        [out[:g, :d], out[g:, d:]], axis=0
+    ).astype(o_ref.dtype)
+
+
 def decode_attention_fused(
     q: jnp.ndarray,  # (B, H, D)
-    k_all: jnp.ndarray,  # (L, B, K, S, D) stacked cache
+    k_all: jnp.ndarray,  # (L, B, K, S, D) stacked cache — or the PAIRED
+    #                      (L, B, K/2, S, 2D) layout (inferred from shape)
     v_all: jnp.ndarray,
     k_new: jnp.ndarray,  # (B, K, D) current token
     v_new: jnp.ndarray,
@@ -186,12 +288,21 @@ def decode_attention_fused(
     same buffers updated in place.
     """
     b, h, d = q.shape
-    L, _, kh, s, _ = k_all.shape
-    g = h // kh
+    L, _, kslots, s, dlast = k_all.shape
+    paired = dlast == 2 * d
     if scale is None:
         scale = d ** -0.5
     block_s = min(block_s, s)
     assert s % block_s == 0
+    if paired:
+        return _decode_fused_paired_call(
+            q, k_all, v_all, k_new, v_new, layer,
+            prompt_lens=prompt_lens, write_pos=write_pos,
+            prompt_pad=prompt_pad, scale=scale, block_s=block_s,
+            interpret=interpret,
+        )
+    kh = kslots
+    g = h // kh
 
     kernel = functools.partial(
         _fused_kernel, scale=scale, block_s=block_s, prompt_pad=prompt_pad
@@ -244,6 +355,75 @@ def decode_attention_fused(
         qg,
         k_new.reshape(b, kh, 1, d),
         v_new.reshape(b, kh, 1, d),
+        k_all,
+        v_all,
+    )
+    return out.reshape(b, h, d), k2, v2
+
+
+def _decode_fused_paired_call(
+    q, k_all, v_all, k_new, v_new, layer, *,
+    prompt_lens, write_pos, prompt_pad, scale, block_s, interpret,
+):
+    """pallas_call plumbing for the head-paired cache layout
+    ((L, B, K/2, S, 2D) — see _fused_kernel_paired). k_new/v_new arrive
+    unpaired (B, K, D); consecutive kv heads are lane-adjacent, so pairing
+    is a pure reshape."""
+    b, h, d = q.shape
+    L, _, kp, s, d2 = k_all.shape
+    g2 = h // kp
+
+    kernel = functools.partial(
+        _fused_kernel_paired, scale=scale, block_s=block_s,
+        prompt_pad=prompt_pad,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, kp),
+        in_specs=[
+            pl.BlockSpec((None, None, g2, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec((None, None, 1, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec((None, None, 1, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec(
+                (None, None, None, s, d2),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, None, s, d2),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, g2, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec(
+                (None, None, None, 8, d2),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // 8, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, None, 8, d2),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // 8, 0),
+            ),
+        ],
+    )
+    qg = q.reshape(b, kp, g2, d)
+    out, k2, v2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kp, g2, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        # 0..2 scalars, 3=q, 4=k_new, 5=v_new, 6=k_all, 7=v_all -> out 1, 2
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(
+        prompt_lens.astype(jnp.int32),
+        write_pos.reshape(1).astype(jnp.int32),
+        layer.reshape(1).astype(jnp.int32),
+        qg,
+        k_new.reshape(b, kp, 1, d2),
+        v_new.reshape(b, kp, 1, d2),
         k_all,
         v_all,
     )

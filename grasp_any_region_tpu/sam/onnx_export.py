@@ -270,16 +270,15 @@ def _export_onnx_bytes(module, example_inputs, input_names, output_names,
             onnx_proto_utils._add_onnxscript_fn = orig
 
 
-def export_mask_decoder_onnx(
+def mask_decoder_onnx_bytes(
     params: dict,
     cfg,
-    path: str,
     return_single_mask: bool = True,
-) -> Optional[str]:
-    """Write `<path>` as an ONNX model with the official SAM decoder
-    interface (image_embeddings, point_coords, point_labels, mask_input,
-    has_mask_input, orig_im_size) -> (masks, iou_predictions,
-    low_res_masks). Returns the path."""
+) -> bytes:
+    """Serialize the mask decoder as an ONNX model with the official SAM
+    decoder interface (image_embeddings, point_coords, point_labels,
+    mask_input, has_mask_input, orig_im_size) -> (masks, iou_predictions,
+    low_res_masks)."""
     import torch
 
     module = build_torch_decoder(params, cfg, return_single_mask)
@@ -292,7 +291,7 @@ def export_mask_decoder_onnx(
         torch.zeros(1),
         torch.tensor([768.0, 1024.0]),
     )
-    data = _export_onnx_bytes(
+    return _export_onnx_bytes(
         module, example,
         input_names=["image_embeddings", "point_coords", "point_labels",
                      "mask_input", "has_mask_input", "orig_im_size"],
@@ -302,6 +301,17 @@ def export_mask_decoder_onnx(
             "point_labels": {1: "num_points"},
         },
     )
+
+
+def export_mask_decoder_onnx(
+    params: dict,
+    cfg,
+    path: str,
+    return_single_mask: bool = True,
+) -> Optional[str]:
+    """Write `<path>` as an ONNX mask decoder (see mask_decoder_onnx_bytes).
+    Returns the path."""
+    data = mask_decoder_onnx_bytes(params, cfg, return_single_mask)
     with open(path, "wb") as f:
         f.write(data)
     return path

@@ -199,6 +199,12 @@ class ContinuousBatchingEngine:
         self._reserved: set = set()
 
         use_fused = bool(ecfg.use_fused)
+        # windowed decode builds its dense cache head-PAIRED when the
+        # fused decode kernels (which read that layout at full 128-lane
+        # tile width) will consume it — models/llama.paired_cache_wanted
+        from ..models.llama import paired_cache_wanted
+
+        e_paired = paired_cache_wanted(tc)
 
         def _paged_step(params_llm, embeds, kq, vq, block_table, sl, active):
             if use_fused:
@@ -294,7 +300,7 @@ class ContinuousBatchingEngine:
             from .paged_cache import flush_window_pages, gather_pages_dense
 
             kd, vd = gather_pages_dense(
-                k_pool, v_pool, block_table, s_base, steps
+                k_pool, v_pool, block_table, s_base, steps, paired=e_paired
             )
             cache0 = KVCache(
                 k=kd, v=vd, prompt_lens=seq_lens,
@@ -327,6 +333,13 @@ class ContinuousBatchingEngine:
             slots = cur.shape[0]
             total = ((s_base + steps + 511) // 512) * 512
             cols = min(s, s_base)
+            if e_paired:
+                # head-paired dense layout for the fused decode kernel
+                # (pairing across the last axis is a pure reshape: the
+                # prefill layout keeps kv heads adjacent)
+                kh, d = kh // 2, 2 * d
+                ks = ks.reshape(l, g, s, kh, d)
+                vs = vs.reshape(l, g, s, kh, d)
             kd = jnp.zeros((l, slots, kh, total, d), dtype)
             vd = jnp.zeros((l, slots, kh, total, d), dtype)
             kt = ks.transpose(0, 1, 3, 2, 4)[:, :, :, :cols]  # (L,G,K,c,D)
@@ -354,6 +367,7 @@ class ContinuousBatchingEngine:
         e_pad = ecfg.pad_id
         self._decode_window_fn = _decode_window
         self._decode_window_fresh_fn = _decode_window_fresh
+        self.paired = e_paired
 
     # -- client API ---------------------------------------------------------
 

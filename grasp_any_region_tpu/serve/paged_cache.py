@@ -125,6 +125,7 @@ def gather_pages_dense(
     block_table: jnp.ndarray,  # (B, MP)
     s_base: int,           # static column budget to gather (multiple of PS)
     window: int,           # extra zero columns appended for decode writes
+    paired: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather each slot's pages into a dense (L, B, K, s_base+window, D)
     cache — the two-interval KVCache layout (models/llama.KVCache) with the
@@ -135,6 +136,11 @@ def gather_pages_dense(
     B=8) instead of the paged scatter/gather loop cost (14-26 ms/step; see
     docs/PERF_NOTES.md round-2). One gather per window amortizes to ~0.01
     ms/step.
+
+    paired: emit the head-PAIRED (L, B, K/2, s_base+window, 2D) layout the
+    fused decode kernel streams at full 128-lane tile width (the pools
+    themselves stay unpaired — the pair interleave costs one transpose per
+    window, amortized like the gather itself).
     """
     ps = k_pool.shape[3]
     assert s_base % ps == 0
@@ -150,7 +156,13 @@ def gather_pages_dense(
 
     def gather(pool):
         g = pool[:, :, bt]  # (L, K, B, n, PS, D)
-        g = g.reshape(l, kh, b, s_base, d).transpose(0, 2, 1, 3, 4)
+        g = g.reshape(l, kh, b, s_base, d)
+        if paired:
+            g = g.reshape(l, kh // 2, 2, b, s_base, d)
+            g = g.transpose(0, 3, 1, 4, 2, 5)  # (L, B, K/2, S, 2, D)
+            g = g.reshape(l, b, kh // 2, s_base, 2 * d)
+        else:
+            g = g.transpose(0, 2, 1, 3, 4)
         return jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
 
     return gather(k_pool), gather(v_pool)
@@ -174,15 +186,29 @@ def flush_window_pages(
     page."""
     ps = k_pool.shape[3]
     b = block_table.shape[0]
+    d = k_pool.shape[4]
+    l = k_pool.shape[0]
     rows = jnp.arange(b)[:, None]            # (B, 1)
     ts = jnp.arange(window)[None, :]         # (1, T)
     mask = ts < counts[:, None]              # (B, T)
     pos = start_lens[:, None] + ts           # (B, T)
     pid = jnp.where(mask, block_table[rows, pos // ps], 0)
     off = jnp.where(mask, pos % ps, 0)
-    # dense window cols -> (L, K, B, T, D) to match the advanced-index target
-    kn = k_dense[:, :, :, s_base : s_base + window].swapaxes(1, 2)
-    vn = v_dense[:, :, :, s_base : s_base + window].swapaxes(1, 2)
+
+    def unpair(x):
+        # head-PAIRED window slabs (L, B, K/2, T, 2D) -> (L, K, B, T, D)
+        kp = x.shape[2]
+        x = x.reshape(l, b, kp, window, 2, d)
+        return x.transpose(0, 2, 4, 1, 3, 5).reshape(l, 2 * kp, b, window, d)
+
+    kw = k_dense[:, :, :, s_base : s_base + window]
+    vw = v_dense[:, :, :, s_base : s_base + window]
+    if kw.shape[-1] == 2 * d:  # paired dense layout (gather_pages_dense)
+        kn, vn = unpair(kw), unpair(vw)
+    else:
+        # dense window cols -> (L, K, B, T, D) to match the advanced-index
+        # target
+        kn, vn = kw.swapaxes(1, 2), vw.swapaxes(1, 2)
     k_pool = k_pool.at[:, :, pid, off].set(kn.astype(k_pool.dtype))
     v_pool = v_pool.at[:, :, pid, off].set(vn.astype(v_pool.dtype))
     return k_pool, v_pool

@@ -11,6 +11,12 @@ Endpoints (parity with the reference's API surface, demo/gradio/app.py):
                                   (reference pseudo-streams chars, :108-156)
   POST /image_to_sam_embedding  — {image: b64} -> {embedding: b64 f32 bytes,
                                   shape} for client-side decoding (:79-105)
+  GET  /sam_decoder.onnx        — the server's SAM mask decoder exported to
+                                  the official ONNX interface (sam/
+                                  onnx_export.py); the demo page runs it
+                                  with onnxruntime-web for in-browser
+                                  hover/click mask decoding (parity with
+                                  demo/gradio/frontend/)
   GET  /healthz                 — liveness + model info
 
 One request at a time hits the TPU (requests serialize on a lock; batching
@@ -31,6 +37,8 @@ import numpy as np
 
 INDEX_HTML = """<!doctype html>
 <html><head><title>Grasp Any Region (TPU)</title>
+<script src="https://cdn.jsdelivr.net/npm/onnxruntime-web@1.19.2/dist/ort.min.js"
+        onerror="this.remove()"></script>
 <style>body{font-family:sans-serif;max-width:900px;margin:2em auto}
 #stage{position:relative;display:inline-block}
 #stage img{max-width:100%;display:block}
@@ -40,44 +48,138 @@ INDEX_HTML = """<!doctype html>
 #status{color:#777;font-size:.9em}</style>
 </head><body>
 <h2>Grasp Any Region — TPU demo</h2>
-<p>Upload an image, click the object (mask preview appears), press
+<p>Upload an image, hover/click the object (mask preview appears), press
 Describe — the caption streams in below. Shift-click adds refinement
-points.</p>
+points. When onnxruntime-web loads, masks decode <b>in the browser</b>
+against the server's SAM embedding (reference frontend parity); otherwise
+each click round-trips to the server.</p>
 <input type="file" id="file" accept="image/*">
 <button onclick="describe()">Describe</button>
 <button onclick="clearPts()">Clear points</button>
 <span id="status"></span>
 <div id="stage"><img id="img" style="display:none">
-<img id="overlay" style="display:none"></div>
+<canvas id="overlay" style="display:none"></canvas></div>
 <div id="out"></div>
 <script>
-let pts = [], b64 = null;
+let pts = [], b64 = null, sess = null, emb = null, maskCanvas = null;
 const img = document.getElementById('img');
 const overlay = document.getElementById('overlay');
 const status = document.getElementById('status');
+// ---- client-side ONNX decoding (demo/gradio/frontend parity) ----
+async function initOnnx(){
+  if (!window.ort) return;
+  try { sess = await ort.InferenceSession.create('/sam_decoder.onnx'); }
+  catch(e){ sess = null; }
+}
+initOnnx();
+function b64f32(s){
+  const bin = atob(s), u8 = new Uint8Array(bin.length);
+  for (let i = 0; i < bin.length; i++) u8[i] = bin.charCodeAt(i);
+  return new Float32Array(u8.buffer);
+}
+async function fetchEmbedding(){
+  emb = null;
+  if (!sess) return;
+  status.textContent = 'encoding image...';
+  const r = await fetch('/image_to_sam_embedding', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({image: b64})});
+  const j = await r.json();
+  if (j.embedding) { emb = {data: b64f32(j.embedding), shape: j.shape};
+                     status.textContent = 'in-browser decoding ready'; }
+  else status.textContent = j.error || 'embedding failed';
+}
+let decoding = false;
+async function decodeLocal(ptsList){
+  if (decoding) return null;          // drop hover events while busy
+  decoding = true;
+  try {
+    const n = ptsList.length;
+    const scale = 1024 / Math.max(img.naturalWidth, img.naturalHeight);
+    const coords = new Float32Array(2 * (n + 1));
+    const labels = new Float32Array(n + 1);
+    ptsList.forEach((p, i) => { coords[2*i] = p[0] * scale;
+      coords[2*i+1] = p[1] * scale; labels[i] = 1; });
+    labels[n] = -1;                   // pad point, official feed layout
+    const out = await sess.run({
+      image_embeddings: new ort.Tensor('float32', emb.data, emb.shape),
+      point_coords: new ort.Tensor('float32', coords, [1, n + 1, 2]),
+      point_labels: new ort.Tensor('float32', labels, [1, n + 1]),
+      mask_input: new ort.Tensor('float32', new Float32Array(256*256),
+                                 [1, 1, 256, 256]),
+      has_mask_input: new ort.Tensor('float32', new Float32Array(1), [1]),
+      orig_im_size: new ort.Tensor('float32', Float32Array.from(
+        [img.naturalHeight, img.naturalWidth]), [2]),
+    });
+    return out.masks;                 // (1, 1, H, W) logits
+  } finally { decoding = false; }
+}
+function paintMask(masks){
+  const h = masks.dims[2], w = masks.dims[3], d = masks.data;
+  overlay.width = w; overlay.height = h;
+  overlay.style.display = 'block';
+  overlay.style.width = img.clientWidth + 'px';
+  overlay.style.height = img.clientHeight + 'px';
+  const ctx = overlay.getContext('2d');
+  const id = ctx.createImageData(w, h);
+  maskCanvas = document.createElement('canvas');
+  maskCanvas.width = w; maskCanvas.height = h;
+  const mctx = maskCanvas.getContext('2d');
+  const mid = mctx.createImageData(w, h);
+  let area = 0;
+  for (let i = 0; i < w * h; i++) {
+    if (d[i] > 0) { area++;
+      id.data[4*i] = 255; id.data[4*i+3] = 110;
+      mid.data[4*i] = mid.data[4*i+1] = mid.data[4*i+2] = 255;
+      mid.data[4*i+3] = 255;
+    } else { mid.data[4*i+3] = 255; }
+  }
+  ctx.putImageData(id, 0, 0);
+  mctx.putImageData(mid, 0, 0);
+  return area;
+}
+// ---- UI ----
 document.getElementById('file').onchange = e => {
   const r = new FileReader();
   r.onload = () => { b64 = r.result.split(',')[1]; img.src = r.result;
-                     img.style.display = 'block'; clearPts(); };
+                     img.style.display = 'block'; clearPts();
+                     fetchEmbedding(); };
   r.readAsDataURL(e.target.files[0]);
 };
-function clearPts(){ pts = []; overlay.style.display = 'none';
+function clearPts(){ pts = []; maskCanvas = null;
+                     overlay.style.display = 'none';
                      status.textContent = ''; }
-img.onclick = async e => {
+function imgXY(e){
   const rect = img.getBoundingClientRect();
-  const x = (e.clientX - rect.left) * img.naturalWidth / rect.width;
-  const y = (e.clientY - rect.top) * img.naturalHeight / rect.height;
+  return [(e.clientX - rect.left) * img.naturalWidth / rect.width,
+          (e.clientY - rect.top) * img.naturalHeight / rect.height];
+}
+img.onmousemove = async e => {       // hover preview, in-browser only
+  if (!sess || !emb || pts.length) return;
+  const m = await decodeLocal([imgXY(e)]);
+  if (m) paintMask(m);
+};
+img.onclick = async e => {
   if (!e.shiftKey) pts = [];
-  pts.push([x, y]);
+  pts.push(imgXY(e));
+  if (sess && emb) {
+    const m = await decodeLocal(pts);
+    if (m) status.textContent = 'mask: ' + paintMask(m) + ' px (browser)';
+    return;
+  }
   status.textContent = 'decoding mask...';
   const resp = await fetch('/point_to_mask', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify({image: b64, points: pts})});
   const j = await resp.json();
   if (j.overlay) {
-    overlay.src = 'data:image/png;base64,' + j.overlay;
-    overlay.style.display = 'block';
-    overlay.style.width = img.clientWidth + 'px';
+    const im = new Image();
+    im.onload = () => { overlay.width = im.width; overlay.height = im.height;
+      overlay.getContext('2d').drawImage(im, 0, 0);
+      overlay.style.display = 'block';
+      overlay.style.width = img.clientWidth + 'px';
+      overlay.style.height = img.clientHeight + 'px'; };
+    im.src = 'data:image/png;base64,' + j.overlay;
     status.textContent = 'mask: ' + j.area + ' px';
   } else { status.textContent = j.error || 'no mask'; }
 };
@@ -85,9 +187,12 @@ async function describe(){
   if (!b64 || !pts.length) { alert('image + at least one point'); return; }
   const out = document.getElementById('out');
   out.textContent = '';
+  const req = {image: b64, stream: true};
+  if (maskCanvas) req.mask = maskCanvas.toDataURL('image/png').split(',')[1];
+  else req.points = pts;
   const resp = await fetch('/describe', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify({image: b64, points: pts, stream: true})});
+    body: JSON.stringify(req)});
   if (!resp.ok) { out.textContent = await resp.text(); return; }
   const reader = resp.body.getReader();
   const dec = new TextDecoder();
@@ -106,6 +211,22 @@ class GARServer:
         self.sam = sam_predictor
         self.max_new_tokens = max_new_tokens
         self.lock = threading.Lock()
+        self._decoder_onnx: Optional[bytes] = None
+
+    def decoder_onnx(self) -> Optional[bytes]:
+        """Exported SAM mask decoder (official ONNX interface), built once
+        from the server's own SAM weights so the browser can decode masks
+        client-side against /image_to_sam_embedding embeddings (the
+        reference's demo/gradio/frontend path)."""
+        if not self.sam.has_model:
+            return None
+        if self._decoder_onnx is None:
+            from ..sam.onnx_export import mask_decoder_onnx_bytes
+
+            self._decoder_onnx = mask_decoder_onnx_bytes(
+                self.sam.params, self.sam.cfg
+            )
+        return self._decoder_onnx
 
     # ---- handlers -----------------------------------------------------------
 
@@ -238,6 +359,20 @@ class GARServer:
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
+                elif self.path == "/sam_decoder.onnx":
+                    try:
+                        data = server_self.decoder_onnx()
+                    except Exception as e:  # noqa: BLE001
+                        self._json(500, {"error": str(e)})
+                        return
+                    if data is None:
+                        self._json(503, {"error": "SAM weights not loaded"})
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._json(404, {"error": "not found"})
 

@@ -293,3 +293,105 @@ def test_flash_attention_df_grads_match_reference(rng):
                                        rtol=1e-4, atol=1e-4)
     finally:
         FA.flash_attention = orig
+
+
+def test_paired_fused_decode_step_matches_reference(rng):
+    """Head-PAIRED cache layout (two kv heads packed into the lane axis,
+    seed_cache_from_prefill(paired=True)): multi-step decode must match
+    the unpaired XLA reference token path exactly, including the in-place
+    cache appends."""
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import (
+        embed_tokens,
+        llama_decode_step,
+        llama_decode_step_fused,
+        llama_prefill,
+    )
+    from grasp_any_region_tpu.models.gar import seed_cache_from_prefill
+
+    cfg = gar_tiny()
+    t = cfg.text
+    params = init_gar_params(jax.random.PRNGKey(0), cfg)["llm"]
+    b, s_prompt = 2, 8
+    ids = rng.integers(0, 1000, size=(b, s_prompt)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(s_prompt, dtype=np.int32), (b, s_prompt)).copy()
+    embeds = embed_tokens(params, jnp.asarray(ids), jnp.float32)
+    _, kv = llama_prefill(params, cfg.text, embeds, jnp.asarray(pos), use_flash=False)
+    plens = jnp.full((b,), s_prompt, jnp.int32)
+    cache_ref = seed_cache_from_prefill(cfg, kv, plens, 128, dtype=jnp.float32)
+    cache_p = seed_cache_from_prefill(
+        cfg, kv, plens, 128, dtype=jnp.float32, paired=True)
+    kp = t.num_kv_heads // 2
+    assert cache_p.k.shape == (
+        t.num_layers, b, kp, 128, 2 * t.head_dim)
+
+    for step, tok in enumerate((42, 7, 99)):
+        e = embed_tokens(params, jnp.full((b, 1), tok, jnp.int32), jnp.float32)
+        h_ref, cache_ref = llama_decode_step(
+            params, cfg.text, e, cache_ref, s_prompt, use_kernel=False)
+        # paired cache routes through the fused kernels (interpret on CPU)
+        h_p, cache_p = llama_decode_step(
+            params, cfg.text, e, cache_p, s_prompt)
+        np.testing.assert_allclose(
+            np.asarray(h_p), np.asarray(h_ref), rtol=1e-4, atol=1e-5,
+            err_msg=f"hidden mismatch at step {step}")
+        # unpair (L, B, K/2, S, 2D) -> (L, B, K, S, D) for comparison
+        L, _, _, S, _ = cache_p.k.shape
+        kup = np.asarray(cache_p.k).reshape(L, b, kp, S, 2, t.head_dim)
+        kup = kup.transpose(0, 1, 2, 4, 3, 5).reshape(
+            L, b, t.num_kv_heads, S, t.head_dim)
+        np.testing.assert_allclose(
+            kup, np.asarray(cache_ref.k), rtol=1e-4, atol=1e-5,
+            err_msg=f"cache K mismatch at step {step}")
+        assert int(cache_p.write_pos) == int(cache_ref.write_pos)
+
+
+def test_paired_gather_flush_round_trip(rng):
+    """gather_pages_dense(paired=True) + flush_window_pages on paired
+    window slabs must round-trip tokens into the same pool state as the
+    unpaired path."""
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.serve.paged_cache import (
+        flush_window_pages,
+        gather_pages_dense,
+        init_paged_kv,
+    )
+
+    L, K, PS, D, B, MP, W = 2, 4, 8, 16, 3, 4, 8
+    paged = init_paged_kv(L, 16, PS, K, D, slots=B, max_pages_per_slot=MP,
+                          dtype=jnp.float32)
+    k_pool = jnp.asarray(
+        rng.standard_normal(paged.k.shape), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal(paged.v.shape), jnp.float32)
+    bt = jnp.asarray([[1, 2, 0, 0], [3, 4, 5, 0], [6, 7, 0, 0]], jnp.int32)
+    seq_lens = jnp.asarray([10, 17, 9], jnp.int32)
+    s_base = 3 * PS
+
+    kd_u, vd_u = gather_pages_dense(k_pool, v_pool, bt, s_base, W)
+    kd_p, vd_p = gather_pages_dense(k_pool, v_pool, bt, s_base, W, paired=True)
+    # paired dense unpairs to the unpaired dense
+    total = kd_u.shape[3]
+    kp = K // 2
+    un = np.asarray(kd_p).reshape(L, B, kp, total, 2, D)
+    un = un.transpose(0, 1, 2, 4, 3, 5).reshape(L, B, K, total, D)
+    np.testing.assert_allclose(un, np.asarray(kd_u), rtol=0, atol=0)
+
+    # write some window tokens into both dense caches and flush
+    counts = jnp.asarray([3, 2, 0], jnp.int32)
+    new = rng.standard_normal((L, B, K, W, D)).astype(np.float32)
+    kd_u = kd_u.at[:, :, :, s_base:s_base + W].set(jnp.asarray(new))
+    new_p = jnp.asarray(
+        new.reshape(L, B, kp, 2, W, D).transpose(0, 1, 2, 4, 3, 5)
+        .reshape(L, B, kp, W, 2 * D))
+    kd_p = kd_p.at[:, :, :, s_base:s_base + W].set(new_p)
+    out_u, _ = flush_window_pages(
+        k_pool, v_pool, kd_u, kd_u, bt, seq_lens, counts, s_base, W)
+    out_p, _ = flush_window_pages(
+        k_pool, v_pool, kd_p, kd_p, bt, seq_lens, counts, s_base, W)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_u), rtol=0, atol=0)

@@ -139,3 +139,61 @@ def test_describe_streaming(server_url, rng):
         assert r.headers["Content-Type"].startswith("text/plain")
         text = r.read().decode()
     assert isinstance(text, str)
+
+
+def test_sam_decoder_onnx_endpoint(server_url, rng):
+    """No SAM weights on the fixture server -> 503 with a clear error."""
+    try:
+        with urllib.request.urlopen(
+            server_url + "/sam_decoder.onnx", timeout=30
+        ) as r:
+            assert False, f"expected 503, got {r.status}"
+    except urllib.error.HTTPError as e:
+        assert e.code == 503
+        assert "SAM" in json.loads(e.read())["error"]
+
+
+def test_sam_decoder_onnx_served_with_model():
+    """A server whose SamPredictor has weights serves a real ONNX proto."""
+    pytest.importorskip("torch")
+    from grasp_any_region_tpu.cli.runtime import GARRuntime
+    from grasp_any_region_tpu.sam.model import SAMConfig, init_sam_params
+    from grasp_any_region_tpu.sam.pipeline import SamPredictor
+    from grasp_any_region_tpu.serve.server import GARServer
+
+    cfg = SAMConfig(img_size=128, embed_dim=64, depth=1, num_heads=2,
+                    global_attn_indexes=(0,), out_chans=64,
+                    decoder_mlp_dim=128)
+    params = jax.tree_util.tree_map(
+        np.asarray, init_sam_params(jax.random.PRNGKey(0), cfg)
+    )
+    rt = GARRuntime.load(None, "gar_tiny", random_init=True)
+    srv = GARServer(rt, SamPredictor(params=params, cfg=cfg))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sam_decoder.onnx", timeout=120
+        ) as r:
+            data = r.read()
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        # ONNX is a protobuf ModelProto: the graph carries the official
+        # input names as raw strings
+        assert len(data) > 10_000
+        for name in (b"image_embeddings", b"point_coords", b"point_labels",
+                     b"mask_input", b"has_mask_input", b"orig_im_size"):
+            assert name in data
+        # cached on second hit (same object served)
+        assert srv.decoder_onnx() is srv.decoder_onnx()
+    finally:
+        httpd.shutdown()
+
+
+def test_index_page_wires_client_side_decode(server_url):
+    with urllib.request.urlopen(server_url + "/", timeout=30) as r:
+        page = r.read().decode()
+    for needle in ("/sam_decoder.onnx", "image_to_sam_embedding",
+                   "onnxruntime-web", "InferenceSession", "onmousemove"):
+        assert needle in page

@@ -251,3 +251,63 @@ def test_fused_vit_blocks_compile_and_match():
         np.asarray(fused, np.float32), np.asarray(ref, np.float32),
         atol=6e-2, rtol=6e-2,
     )
+
+
+def test_paired_fused_decode_compiles_and_matches():
+    """Head-PAIRED cache layout compiled on chip: the paired fused step
+    must match the unpaired XLA reference step (the pairing halves the
+    kv-head axis and doubles the lane axis — full (8,128) tiles)."""
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import (
+        KVCache,
+        llama_decode_step,
+        llama_decode_step_fused,
+    )
+
+    cfg = gar_tiny().text
+    params = init_gar_params(jax.random.PRNGKey(0), gar_tiny(), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    b, s_max, pad = 8, 512, 128
+    kh, dh = cfg.num_kv_heads, cfg.head_dim
+    k_u = rng.standard_normal((cfg.num_layers, b, kh, s_max, dh))
+    v_u = rng.standard_normal((cfg.num_layers, b, kh, s_max, dh))
+
+    def pair(x):  # (L,B,K,S,D) -> (L,B,K/2,S,2D)
+        L = x.shape[0]
+        return (
+            x.reshape(L, b, kh // 2, 2, s_max, dh)
+            .transpose(0, 1, 2, 4, 3, 5)
+            .reshape(L, b, kh // 2, s_max, 2 * dh)
+        )
+
+    plens = jnp.asarray(rng.integers(10, pad, b), jnp.int32)
+    cache_u = KVCache(
+        k=jnp.asarray(k_u, jnp.bfloat16), v=jnp.asarray(v_u, jnp.bfloat16),
+        prompt_lens=plens, write_pos=jnp.asarray(pad, jnp.int32),
+    )
+    cache_p = KVCache(
+        k=jnp.asarray(pair(k_u), jnp.bfloat16),
+        v=jnp.asarray(pair(v_u), jnp.bfloat16),
+        prompt_lens=plens, write_pos=jnp.asarray(pad, jnp.int32),
+    )
+    embeds = jnp.asarray(rng.standard_normal((b, 1, cfg.hidden_size)), jnp.bfloat16)
+
+    h_ref, c_ref = jax.jit(
+        lambda e, c: llama_decode_step(params["llm"], cfg, e, c, pad, use_kernel=False)
+    )(embeds, cache_u)
+    h_p, c_p = jax.jit(
+        lambda e, c: llama_decode_step_fused(params["llm"], cfg, e, c, pad)
+    )(embeds, cache_p)
+    np.testing.assert_allclose(
+        np.asarray(h_ref, np.float32), np.asarray(h_p, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+    # the appended column must land identically (unpair and compare)
+    kc = np.asarray(c_p.k, np.float32).reshape(
+        cfg.num_layers, b, kh // 2, s_max, 2, dh
+    ).transpose(0, 1, 2, 4, 3, 5).reshape(cfg.num_layers, b, kh, s_max, dh)
+    np.testing.assert_allclose(
+        kc[:, :, :, pad], np.asarray(c_ref.k, np.float32)[:, :, :, pad],
+        atol=5e-2, rtol=5e-2,
+    )
