@@ -292,6 +292,7 @@ def seed_cache_from_prefill(
     max_len: int,
     dtype=jnp.bfloat16,
     paired: bool = False,
+    quantize_kv: bool = False,
 ) -> KVCache:
     """Place prefill K/V (L,B,S,K,Dh) into a head-major cache of max_len
     columns. The prompt block occupies columns [0, S) (right-padded rows
@@ -303,7 +304,16 @@ def seed_cache_from_prefill(
     kernel-isolation probe measured the unpaired slab read at 2.4x its
     bandwidth floor, docs/PERF_NOTES.md round-3). Only the TPU fused
     decode path consumes this layout (ops/decode_attention.py infers it
-    from the cache shape)."""
+    from the cache shape).
+
+    quantize_kv (requires paired): store the cache int8 with one static
+    f32 scale per (layer, batch, head-pair) — decode attention's HBM
+    stream halves again on top of pairing. Scales come from the prefill
+    amax with 1.5x headroom so decode-time columns (quantized in-kernel
+    with the SAME static scale — no per-step scale updates, which would
+    invalidate already-written columns) survive moderate outliers; the
+    effective resolution is still ~85 levels over the observed range
+    (~0.6% rounding), well inside bf16 attention noise."""
     ks, vs = kv
     L, b, s, kh, dh = ks.shape
     assert max_len >= s
@@ -315,8 +325,22 @@ def seed_cache_from_prefill(
     pad = ((0, 0), (0, 0), (0, 0), (0, max_len - s), (0, 0))
     k = jnp.pad(ks.astype(dtype).transpose(0, 1, 3, 2, 4), pad)
     v = jnp.pad(vs.astype(dtype).transpose(0, 1, 3, 2, 4), pad)
+    k_scale = v_scale = None
+    if quantize_kv:
+        assert paired, "int8 KV caches require the paired layout"
+
+        def _q(x):  # (L, B, K/2, S', 2Dh) -> int8 + (L, B, K/2, 1, 1) scale
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(3, 4),
+                           keepdims=True)
+            scale = jnp.maximum(amax * 1.5 / 127.0, 1e-8)
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+            return q.astype(jnp.int8), scale
+
+        k, k_scale = _q(k)
+        v, v_scale = _q(v)
     return KVCache(
         k=k, v=v,
         prompt_lens=seq_lens.astype(jnp.int32),
         write_pos=jnp.asarray(s, jnp.int32),
+        k_scale=k_scale, v_scale=v_scale,
     )

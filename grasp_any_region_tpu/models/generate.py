@@ -45,6 +45,7 @@ def _sample(logits: jnp.ndarray, rng: Optional[jax.Array], temperature: float) -
         "use_flash",
         "video_mode",
         "mesh",
+        "quantize_kv",
     ),
 )
 def generate(
@@ -63,6 +64,7 @@ def generate(
     use_flash: Optional[bool] = None,
     video_mode: bool = False,
     mesh=None,
+    quantize_kv: bool = False,
 ) -> GenerationResult:
     """mesh (static): multi-chip inference. Weights follow their
     parallel/sharding.py placement (device_put them with shard_params
@@ -92,11 +94,16 @@ def generate(
     max_len = ((s + max_new_tokens + 511) // 512) * 512
     from .llama import paired_cache_wanted
 
+    paired = mesh is None and paired_cache_wanted(cfg.text)
     cache = seed_cache_from_prefill(
         cfg, kv, prompt_lens, max_len,
         # head-paired layout for the single-chip fused decode kernels
         # (multi-chip shards kv heads over 'tensor' — keep them unpaired)
-        paired=mesh is None and paired_cache_wanted(cfg.text),
+        paired=paired,
+        # int8 KV (paired layouts only): halves the decode-attention HBM
+        # stream; the fused kernel dequantizes per block and quantizes the
+        # appended column with the cache's static scales
+        quantize_kv=quantize_kv and paired,
     )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -42,6 +42,15 @@ class KVCache(NamedTuple):
     v: jnp.ndarray  #   stream contiguous (S, Dh) slabs with no transpose
     prompt_lens: jnp.ndarray  # (B,) int32 true prompt lengths
     write_pos: jnp.ndarray  # () int32 next column to write
+    # int8 KV (seed_cache_from_prefill(quantize_kv=True)): k/v are int8 in
+    # the PAIRED layout and these hold the static per-(layer, batch,
+    # head-pair) dequantization scales, (L, B, K/2, 1, 1) f32. None for
+    # bf16 caches. Scales are derived from the prefill KV amax (with
+    # headroom for decode-time outliers) so appended columns quantize
+    # in-kernel with no scale updates — the decode-attention HBM stream
+    # halves again on top of head pairing.
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_llama_params(
@@ -377,6 +386,10 @@ def llama_decode_step_fused(
         interpret = jax.default_backend() != "tpu"  # pallas interpret on CPU
     blocks_probe = params["blocks"]
     q8 = "wq_q8" in blocks_probe  # int8 decode weights present (models/quantize.py)
+    kv_q8 = cache.k.dtype == jnp.int8  # int8 KV cache (seed_cache_from_prefill)
+    # new K/V enter the kernel in compute dtype even for int8 caches — the
+    # kernel quantizes the appended column itself with the static scale
+    kv_io_dtype = jnp.bfloat16 if kv_q8 else cache.k.dtype
     b = inputs_embeds.shape[0]
     h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     inv = llama_inv_freq(cfg)
@@ -403,9 +416,10 @@ def llama_decode_step_fused(
         v = vf.reshape(b, kh, dh)
         a, k_all, v_all = decode_attention_fused(
             q.reshape(b, h, dh), k_all, v_all,
-            k.astype(k_all.dtype), v.astype(v_all.dtype), l,
+            k.astype(kv_io_dtype), v.astype(kv_io_dtype), l,
             prompt_lens=cache.prompt_lens, write_pos=wp, prompt_pad=prompt_pad,
             interpret=interpret,
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
         )
         if q8:
             xr = xr + layer_matmul_q8(
@@ -430,9 +444,7 @@ def llama_decode_step_fused(
     x, new_k, new_v = jax.lax.fori_loop(
         0, cfg.num_layers, body, (inputs_embeds, cache.k, cache.v)
     )
-    return x, KVCache(
-        k=new_k, v=new_v, prompt_lens=cache.prompt_lens, write_pos=wp + 1
-    )
+    return x, cache._replace(k=new_k, v=new_v, write_pos=wp + 1)
 
 
 def llama_decode_step_mega(
@@ -531,8 +543,6 @@ def llama_decode_step_paged(
     block_table: jnp.ndarray,  # (B, MP) int32
     seq_lens: jnp.ndarray,     # (B,) int32 cached tokens per slot (pre-step)
     active: jnp.ndarray,       # (B,) bool
-    *,
-    use_kernel: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step against the paged KV pool (continuous batching: every
     slot has its own length — no shared write_pos like KVCache).
@@ -561,10 +571,8 @@ def llama_decode_step_paged(
     post_lens = seq_lens + 1  # attention covers the token being written
 
     def attend(q, kl, vl):
-        if use_kernel:
-            from ..ops.paged_attention import paged_attention
-
-            return paged_attention(q, kl, vl, block_table, post_lens)
+        # the XLA page-gather + fused masked attention is the measured
+        # winner on this chip (ops/paged_attention.py module docstring)
         from ..ops.paged_attention import paged_attention_reference
 
         return paged_attention_reference(q, kl, vl, block_table, post_lens)
@@ -699,7 +707,25 @@ def lm_logits(
     """hidden (..., D) -> fp32 logits (..., V_rows), padded rows masked."""
     x = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
-    if head is None:
+    q8 = params.get("lm_head_q8")
+    if q8 is not None:
+        # int8 head (models/quantize.py): XLA fuses the int8->bf16 convert
+        # into the matmul read, so HBM traffic halves vs the bf16 head —
+        # the head is the largest per-decode-step weight read. Per-row
+        # scales are constant along the contraction, applied to the f32
+        # logits after the dot.
+        scale = params["lm_head_scale"]
+        if q8.shape[0] != x.shape[-1]:  # tied-embed layout (V, D)
+            logits = jnp.einsum(
+                "...d,vd->...v", x, q8.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale.reshape(-1)
+        else:  # untied (D, V)
+            logits = jnp.einsum(
+                "...d,dv->...v", x, q8.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale.reshape(-1)
+    elif head is None:
         # tied embeddings: contract against (V, D) directly — never
         # materialize the 0.5 GB transpose (this runs every decode step)
         logits = jnp.einsum(

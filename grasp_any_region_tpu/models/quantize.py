@@ -40,6 +40,12 @@ def quantize_decode_weights(params: dict, targets: Sequence[str] = DECODE_MATMUL
     copies, so resident memory grows ~1.2 GB for GAR-1B but per-token traffic
     halves. Drop the bf16 block weights afterwards for serving-only
     deployments if memory is tight.
+
+    The LM head is quantized too: at 128k vocab it is the single largest
+    per-step weight read (~0.5 GB bf16, ~700 µs of the decode step at the
+    819 GB/s floor — docs/PERF_NOTES.md round-3 dissection) and it runs
+    every token. Per-vocab-row scales keep greedy argmax stable (the scale
+    is exact per output logit; only the D-axis rounding perturbs it).
     """
     blocks = dict(params["llm"]["blocks"])
     for name in targets:
@@ -49,6 +55,15 @@ def quantize_decode_weights(params: dict, targets: Sequence[str] = DECODE_MATMUL
     out = dict(params)
     out["llm"] = dict(params["llm"])
     out["llm"]["blocks"] = blocks
+    head = params["llm"].get("lm_head")
+    if head is None:
+        # tied embeddings: lm_logits contracts x against embed (V, D) —
+        # contract axis is D (last), so scales are per vocab row
+        q, s = quantize_int8(params["llm"]["embed"], axis=-1)  # (V, D), (V, 1)
+    else:
+        q, s = quantize_int8(head, axis=-2)  # (D, V), (1, V)
+    out["llm"]["lm_head_q8"] = q
+    out["llm"]["lm_head_scale"] = s
     return out
 
 

@@ -164,18 +164,33 @@ def _fused_kernel(
 
 def _fused_kernel_paired(
     plen_ref, wpos_ref, lay_ref,  # scalar prefetch
-    q_ref,     # (2G, D) — query heads of kv pair p (heads 2p*G .. 2p*G+2G)
-    knew_ref,  # (1, 2D) — pair p's two new K heads packed into lanes
-    vnew_ref,  # (1, 2D)
-    k_ref,     # (S, 2D) paired layer slab (pre-write state)
-    v_ref,     # (S, 2D)
-    o_ref,     # (2G, D)
-    kcol_ref,  # (8, 2D) aliased 8-row window containing column wpos
-    vcol_ref,  # (8, 2D)
-    *,
+    *refs,
+    # refs (in pallas operand order):
+    #   q_ref     (2G, 2D) — BLOCK-DIAGONAL embedding of kv pair p's query
+    #             heads (heads 2p*G .. 2p*G+2G): head a's queries occupy
+    #             rows [0, G) lanes [0, D), head b's rows [G, 2G) lanes
+    #             [D, 2D); zero blocks elsewhere. Built OUTSIDE the kernel —
+    #             Mosaic cannot concatenate lane-offset slices (the
+    #             in-kernel build hit "result/input offset mismatch on
+    #             non-concat dimension" on real TPU), and q is tiny so
+    #             XLA-side construction is free.
+    #   knew_ref  (1, 2D) — pair p's two new K heads packed into lanes
+    #             (always bf16/f32, even for int8 caches)
+    #   vnew_ref  (1, 2D)
+    #   k_ref     (S, 2D) paired layer slab (pre-write state); int8 when
+    #             kv_q8 (dequantized per block with the static pair scale)
+    #   v_ref     (S, 2D)
+    #   [kscale_ref, vscale_ref]  (1, 1) f32 — only when kv_q8
+    #   o_ref     (2G, 2D) — diagonal quadrants hold the two heads'
+    #             outputs; the caller extracts them (again: lane-offset
+    #             slice + row concat is XLA work, not Mosaic work)
+    #   kcol_ref  (win, 2D) aliased row window containing column wpos
+    #   vcol_ref  (win, 2D)
     scale: float,
     block_s: int,
     prompt_pad: int,
+    kv_q8: bool = False,
+    win: int = 8,
 ):
     """Head-PAIRED fused decode attention: the cache packs two kv heads
     into the 128-lane axis ((S, 2*64) slabs) so DMA and VMEM stream full
@@ -188,31 +203,43 @@ def _fused_kernel_paired(
     kill the cross-head terms, so q_big @ k_blk^T yields both heads'
     logits in one (2G, BS) result. The p @ v dot computes a (2G, 2D)
     block whose diagonal (G, D) quadrants are the two heads' outputs."""
+    if kv_q8:
+        (q_ref, knew_ref, vnew_ref, k_ref, v_ref,
+         kscale_ref, vscale_ref, o_ref, kcol_ref, vcol_ref) = refs
+    else:
+        (q_ref, knew_ref, vnew_ref, k_ref, v_ref,
+         o_ref, kcol_ref, vcol_ref) = refs
     b = pl.program_id(0)
     plen = plen_ref[b]
     wpos = wpos_ref[0]
-    g2, d = q_ref.shape  # g2 = 2G, d = head_dim
-    g = g2 // 2
-    q = q_ref[:]
-    zeros = jnp.zeros_like(q)
-    # (2G, 2D) block-diagonal embedding of the two heads' queries
-    q_big = jnp.concatenate(
-        [
-            jnp.concatenate([q[:g], zeros[:g]], axis=1),
-            jnp.concatenate([zeros[g:], q[g:]], axis=1),
-        ],
-        axis=0,
-    )
+    g2, d2 = q_ref.shape  # g2 = 2G, d2 = 2 * head_dim
+    d = d2 // 2
+    q_big = q_ref[:]
     k_new = knew_ref[:].reshape(1, 2 * d)
     v_new = vnew_ref[:].reshape(1, 2 * d)
+    if kv_q8:
+        ks = kscale_ref[0, 0]
+        vs = vscale_ref[0, 0]
+        # quantize the appended column with the static pair scale; all
+        # downstream math uses the DEQUANTIZED value so this step sees
+        # exactly what future steps will read back from the cache
+        knq = jnp.clip(jnp.round(k_new.astype(jnp.float32) / ks), -127, 127)
+        vnq = jnp.clip(jnp.round(v_new.astype(jnp.float32) / vs), -127, 127)
+        k_new = knq * ks
+        v_new = vnq * vs
+        k_wr, v_wr = knq, vnq
 
-    align = (wpos // 8) * 8
-    old_k = k_ref[pl.ds(align, 8), :]
-    old_v = v_ref[pl.ds(align, 8), :]
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+    align = (wpos // win) * win
+    old_k = k_ref[pl.ds(align, win), :]
+    old_v = v_ref[pl.ds(align, win), :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (win, 2 * d), 0)
     sel = row == (wpos - align)
-    kcol_ref[:] = jnp.where(sel, k_new.astype(old_k.dtype), old_k)
-    vcol_ref[:] = jnp.where(sel, v_new.astype(old_v.dtype), old_v)
+    if kv_q8:
+        kcol_ref[:] = jnp.where(sel, k_wr.astype(old_k.dtype), old_k)
+        vcol_ref[:] = jnp.where(sel, v_wr.astype(old_v.dtype), old_v)
+    else:
+        kcol_ref[:] = jnp.where(sel, k_new.astype(old_k.dtype), old_k)
+        vcol_ref[:] = jnp.where(sel, v_new.astype(old_v.dtype), old_v)
 
     num_s = (wpos + block_s - 1) // block_s  # history strictly before wpos
 
@@ -220,6 +247,12 @@ def _fused_kernel_paired(
         m_prev, l_prev, acc = carry
         k_blk = k_ref[pl.ds(si * block_s, block_s), :]  # (BS, 2D)
         v_blk = v_ref[pl.ds(si * block_s, block_s), :]
+        if kv_q8:
+            # dequantize in VMEM (VPU multiply) — the HBM stream stays
+            # int8, which is the whole point; bf16 holds int8 * scale to
+            # ~0.4% which is below the int8 rounding already accepted
+            k_blk = (k_blk.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+            v_blk = (v_blk.astype(jnp.float32) * vs).astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q_big, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -258,9 +291,7 @@ def _fused_kernel_paired(
     l_f = l * alpha + p_cur
     acc = acc * alpha + p_cur * v_new.astype(jnp.float32)
     out = acc / jnp.maximum(l_f, 1e-30)  # (2G, 2D)
-    o_ref[:] = jnp.concatenate(
-        [out[:g, :d], out[g:, d:]], axis=0
-    ).astype(o_ref.dtype)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def decode_attention_fused(
@@ -278,6 +309,8 @@ def decode_attention_fused(
     scale: Optional[float] = None,
     block_s: int = 512,
     interpret: bool = False,
+    k_scale: Optional[jnp.ndarray] = None,  # int8 caches: (L, B, K/2, 1, 1)
+    v_scale: Optional[jnp.ndarray] = None,  #   f32 static dequant scales
 ):
     """Attention + cache append in ONE kernel.
 
@@ -299,8 +332,9 @@ def decode_attention_fused(
             q, k_all, v_all, k_new, v_new, layer,
             prompt_lens=prompt_lens, write_pos=write_pos,
             prompt_pad=prompt_pad, scale=scale, block_s=block_s,
-            interpret=interpret,
+            interpret=interpret, k_scale=k_scale, v_scale=v_scale,
         )
+    assert k_all.dtype != jnp.int8, "int8 KV caches require the paired layout"
     kh = kslots
     g = h // kh
 
@@ -364,68 +398,110 @@ def decode_attention_fused(
 def _decode_fused_paired_call(
     q, k_all, v_all, k_new, v_new, layer, *,
     prompt_lens, write_pos, prompt_pad, scale, block_s, interpret,
+    k_scale=None, v_scale=None,
 ):
     """pallas_call plumbing for the head-paired cache layout
     ((L, B, K/2, S, 2D) — see _fused_kernel_paired). k_new/v_new arrive
     unpaired (B, K, D); consecutive kv heads are lane-adjacent, so pairing
-    is a pure reshape."""
+    is a pure reshape. int8 caches (k_all.dtype == int8) additionally take
+    the static (L, B, K/2, 1, 1) f32 dequantization scales."""
     b, h, d = q.shape
     L, _, kp, s, d2 = k_all.shape
     g2 = h // kp
+    g = g2 // 2
+    kv_q8 = k_all.dtype == jnp.int8
+    # int8 arrays tile as (32, 128) in VMEM: the aliased append window must
+    # be 32-row aligned (bf16 tiles as (16, 128); the 8-row window there
+    # predates this and is fine)
+    win = 32 if kv_q8 else 8
+    if kv_q8:
+        assert k_scale is not None and v_scale is not None
+        assert s % win == 0
 
     kernel = functools.partial(
         _fused_kernel_paired, scale=scale, block_s=block_s,
-        prompt_pad=prompt_pad,
+        prompt_pad=prompt_pad, kv_q8=kv_q8, win=win,
     )
+    in_specs = [
+        pl.BlockSpec((None, None, g2, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+        pl.BlockSpec((None, None, 1, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+        pl.BlockSpec((None, None, 1, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+        pl.BlockSpec(
+            (None, None, None, s, d2),
+            lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+        ),
+        pl.BlockSpec(
+            (None, None, None, s, d2),
+            lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+        ),
+    ]
+    if kv_q8:
+        in_specs += [
+            pl.BlockSpec(
+                (None, None, None, 1, 1),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, None, 1, 1),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
+            ),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, kp),
-        in_specs=[
-            pl.BlockSpec((None, None, g2, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
-            pl.BlockSpec((None, None, 1, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
-            pl.BlockSpec((None, None, 1, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
-            pl.BlockSpec(
-                (None, None, None, s, d2),
-                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
-            ),
-            pl.BlockSpec(
-                (None, None, None, s, d2),
-                lambda bi, ki, p, w, lay: (lay[0], bi, ki, 0, 0),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((None, None, g2, d), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
+            pl.BlockSpec((None, None, g2, d2), lambda bi, ki, p, w, lay: (bi, ki, 0, 0)),
             pl.BlockSpec(
-                (None, None, None, 8, d2),
-                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // 8, 0),
+                (None, None, None, win, d2),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // win, 0),
             ),
             pl.BlockSpec(
-                (None, None, None, 8, d2),
-                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // 8, 0),
+                (None, None, None, win, d2),
+                lambda bi, ki, p, w, lay: (lay[0], bi, ki, w[0] // win, 0),
             ),
         ],
     )
     qg = q.reshape(b, kp, g2, d)
+    # block-diagonal q embedding (see _fused_kernel_paired): head a's G
+    # query rows in lanes [0, D), head b's in lanes [D, 2D). XLA-side pad +
+    # concat — negligible (q is (B, H, D)) and keeps lane-offset layout
+    # surgery out of Mosaic.
+    q_big = jnp.concatenate(
+        [
+            jnp.pad(qg[:, :, :g], ((0, 0), (0, 0), (0, 0), (0, d))),
+            jnp.pad(qg[:, :, g:], ((0, 0), (0, 0), (0, 0), (d, 0))),
+        ],
+        axis=2,
+    )  # (b, kp, 2G, 2D)
     out, k2, v2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, kp, g2, d), q.dtype),
+            jax.ShapeDtypeStruct((b, kp, g2, d2), q.dtype),
             jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
             jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
         ],
         # 0..2 scalars, 3=q, 4=k_new, 5=v_new, 6=k_all, 7=v_all -> out 1, 2
+        # (int8 scales, when present, ride as trailing operands 8, 9 so the
+        # alias indices never move)
         input_output_aliases={6: 1, 7: 2},
         interpret=interpret,
     )(
         prompt_lens.astype(jnp.int32),
         write_pos.reshape(1).astype(jnp.int32),
         layer.reshape(1).astype(jnp.int32),
-        qg,
+        q_big,
         k_new.reshape(b, kp, 1, d2),
         v_new.reshape(b, kp, 1, d2),
         k_all,
         v_all,
+        *([k_scale, v_scale] if kv_q8 else []),
+    )
+    # diagonal quadrants of the (2G, 2D) block result are the two heads'
+    # outputs, in the original row order
+    out = jnp.concatenate(
+        [out[:, :, :g, :d], out[:, :, g:, d:]], axis=2
     )
     return out.reshape(b, h, d), k2, v2
 

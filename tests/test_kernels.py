@@ -227,6 +227,17 @@ def test_int8_decode_weights_close_to_bf16(rng):
     ref_mag = np.abs(np.asarray(h_ref)).max()
     assert err < 0.05 * ref_mag, (err, ref_mag)
 
+    # int8 LM head (the largest per-step weight read): logits track the
+    # bf16 head within the per-row quantization error bound
+    from grasp_any_region_tpu.models.llama import lm_logits
+
+    assert "lm_head_q8" in qparams
+    lg_ref = np.asarray(lm_logits(params, cfg.text, h_ref))
+    lg_q8 = np.asarray(lm_logits(qparams, cfg.text, h_ref))
+    assert lg_ref.shape == lg_q8.shape
+    denom = np.abs(lg_ref).max()
+    assert np.abs(lg_q8 - lg_ref).max() < 0.02 * denom + 1e-3
+
 
 def test_vit_attention_df_grads_match_reference(rng):
     """custom_vjp wrapper: Pallas forward + Pallas FA-2 backward (both in
@@ -348,6 +359,70 @@ def test_paired_fused_decode_step_matches_reference(rng):
             kup, np.asarray(cache_ref.k), rtol=1e-4, atol=1e-5,
             err_msg=f"cache K mismatch at step {step}")
         assert int(cache_p.write_pos) == int(cache_ref.write_pos)
+
+
+def test_int8_kv_paired_decode_tracks_reference(rng):
+    """int8 KV cache (seed_cache_from_prefill(quantize_kv=True)): the fused
+    paired kernel dequantizes history blocks with the static per-pair scale
+    and quantizes appended columns in-kernel. Multi-step decode must track
+    the fp32 XLA reference within the int8 rounding budget, and the stored
+    cache must dequantize back to the reference K/V."""
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.models.llama import embed_tokens, llama_decode_step, llama_prefill
+    from grasp_any_region_tpu.models.gar import seed_cache_from_prefill
+
+    cfg = gar_tiny()
+    t = cfg.text
+    params = init_gar_params(jax.random.PRNGKey(0), cfg)["llm"]
+    b, s_prompt = 2, 8
+    ids = rng.integers(0, 1000, size=(b, s_prompt)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(s_prompt, dtype=np.int32), (b, s_prompt)).copy()
+    embeds = embed_tokens(params, jnp.asarray(ids), jnp.float32)
+    _, kv = llama_prefill(params, cfg.text, embeds, jnp.asarray(pos), use_flash=False)
+    plens = jnp.full((b,), s_prompt, jnp.int32)
+    cache_ref = seed_cache_from_prefill(cfg, kv, plens, 128, dtype=jnp.float32)
+    cache_q = seed_cache_from_prefill(
+        cfg, kv, plens, 128, dtype=jnp.float32, paired=True, quantize_kv=True)
+    kp = t.num_kv_heads // 2
+    assert cache_q.k.dtype == jnp.int8
+    assert cache_q.k_scale.shape == (t.num_layers, b, kp, 1, 1)
+
+    for step, tok in enumerate((42, 7, 99)):
+        e = embed_tokens(params, jnp.full((b, 1), tok, jnp.int32), jnp.float32)
+        h_ref, cache_ref = llama_decode_step(
+            params, cfg.text, e, cache_ref, s_prompt, use_kernel=False)
+        h_q, cache_q = llama_decode_step(params, cfg.text, e, cache_q, s_prompt)
+        assert cache_q.k.dtype == jnp.int8  # appends stay quantized
+        assert cache_q.k_scale is not None  # scales survive the step
+        ref = np.asarray(h_ref)
+        np.testing.assert_allclose(
+            np.asarray(h_q), ref, rtol=5e-2,
+            atol=5e-2 * np.abs(ref).max(),
+            err_msg=f"hidden diverged at step {step}")
+        assert int(cache_q.write_pos) == int(cache_ref.write_pos)
+
+    # stored int8 columns (incl. the 3 appended ones) dequantize to the
+    # reference K within the per-pair scale's rounding radius
+    L, _, _, S, _ = cache_q.k.shape
+    kdq = np.asarray(cache_q.k, np.float32) * np.asarray(cache_q.k_scale)
+    kdq = kdq.reshape(L, b, kp, S, 2, t.head_dim)
+    kdq = kdq.transpose(0, 1, 2, 4, 3, 5).reshape(
+        L, b, t.num_kv_heads, S, t.head_dim)
+    wp = int(cache_ref.write_pos)
+    kr = np.asarray(cache_ref.k)
+    rad = np.asarray(cache_q.k_scale).max()
+    # prefill columns: pure quantization error (half a quantization step)
+    np.testing.assert_allclose(
+        kdq[:, :, :, :s_prompt], kr[:, :, :, :s_prompt], atol=rad * 0.51 + 1e-6)
+    # appended columns additionally carry the quantized path's (bounded)
+    # hidden-state drift vs the fp32 reference
+    np.testing.assert_allclose(
+        kdq[:, :, :, s_prompt:wp], kr[:, :, :, s_prompt:wp],
+        atol=rad * 0.51 + 5e-2 * np.abs(kr[:, :, :, :wp]).max())
 
 
 def test_paired_gather_flush_round_trip(rng):
