@@ -57,6 +57,9 @@ def run_config(batch_size: int, iters: int = 3, quantize: bool = False):
         out = generate(
             params, cfg, b, prompt_lens,
             max_new_tokens=DECODE_TOKENS, eot_id=-1, mask_compat=False,
+            # int8 config: quantize the KV cache too (kernel dequantizes
+            # per block; static scales from the prefill amax)
+            quantize_kv=quantize,
         )
         return int(np.asarray(out.tokens).sum())
 
@@ -160,6 +163,8 @@ def run_serving(n_requests: int = 8, slots: int = 8,
         # window == max_new: the whole generation is ONE device call + ONE
         # fetch (the relay charges per fetch; eot exits the window early)
         mask_compat=False, decode_chunk=new_tokens,
+        # int8 mode also quantizes the dense window KV (engine quantize_kv)
+        quantize_kv=quantize,
     )
     eng = ContinuousBatchingEngine(params, cfg, ecfg)
     # warmup with the SAME request count so every shape (group prefill,
@@ -199,19 +204,36 @@ def main():
             print(f"[bench] B={b} failed ({e}); retrying GAR_PAIRED_KV=0",
                   file=sys.stderr)
             os.environ["GAR_PAIRED_KV"] = "0"
+            # the paired-ness decision happens at TRACE time; identical avals
+            # would reuse the cached (failing) lowering, so drop the caches
+            import jax
+
+            jax.clear_caches()
             return run_config(b, **kw)
 
-    results = [safe_run(b) for b in (1, 8)]
-    safe_run(8, quantize=True)  # informational: int8 decode weights
-    try:
-        run_serving()  # informational: continuous-batching serving mode
-        run_serving(quantize=True)  # int8 decode-weight serving
-    except Exception as e:  # pragma: no cover - keep the headline robust
-        print(f"[bench] serving config skipped: {e}", file=sys.stderr)
-    try:
-        run_long_context()  # informational: 8k decoder prefill
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] long-context config skipped: {e}", file=sys.stderr)
+    # B=16: decode is weight/KV-bandwidth bound, so the per-step cost grows
+    # sublinearly with streams — batching is the cheapest throughput lever
+    results = [safe_run(b) for b in (1, 8, 16)]
+    safe_run(8, quantize=True)  # informational: int8 decode weights+KV+head
+    safe_run(16, quantize=True)
+    def info(label, fn, **kw):
+        # each informational config is isolated: one OOM (e.g. a pool that
+        # does not fit next to a previous config's lingering buffers) must
+        # not cascade into the remaining lines
+        import gc
+
+        try:
+            fn(**kw)
+        except Exception as e:  # pragma: no cover - keep the headline robust
+            print(f"[bench] {label} skipped: {e}", file=sys.stderr)
+        gc.collect()
+
+    info("long-context", run_long_context)  # 8k decoder prefill
+    info("serving bf16", run_serving)  # continuous-batching serving mode
+    info("serving int8", run_serving, quantize=True)
+    # (a 16-slot serving config was tried and OOMs deterministically on the
+    # 16 GB chip: 2.7 GB pools + 16-slot dense window + bf16/int8 param
+    # copies; 16-stream scale-out is covered by the static B=16 lines)
     best = max(results)
     print(
         json.dumps(

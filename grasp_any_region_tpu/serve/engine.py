@@ -53,13 +53,21 @@ class EngineConfig:
     max_new_tokens: int = 1024
     eot_id: int = EOT_TOKEN_ID
     pad_id: int = 0
-    use_kernel: bool = False      # Pallas paged-attention kernel
     # layer-indexed weight-streaming decode step (+ int8 when quantized
     # weights are present). Measured on-chip (B=8 slots, 80-page tables):
     # 7.39 ms/step fused vs 7.67 XLA — the static-unroll XLA path already
     # streams weights well, and the fused variant costs a ~13 min first
     # compile (64 unrolled Pallas calls), so it stays opt-in. None = off.
     use_fused: Optional[bool] = None
+    # int8 dense-window KV (TPU paired layout only): each window's gathered
+    # dense cache quantizes with static per-(layer, slot, head-pair) scales
+    # (window amax, 1.5x headroom — recomputed EVERY window so scales never
+    # go stale), the fused kernel dequantizes per block and quantizes
+    # appended columns in-kernel, and the flush dequantizes the window's
+    # new columns back to the bf16 pools. Halves the dominant per-step HBM
+    # stream in window decode; page pools stay bf16 (pool traffic is one
+    # gather+flush per window, not per step).
+    quantize_kv: bool = False
     mask_compat: bool = True
     double_scale_compat: bool = True
     # windowed-decode size: decode up to this many tokens for all slots in
@@ -205,6 +213,23 @@ class ContinuousBatchingEngine:
         from ..models.llama import paired_cache_wanted
 
         e_paired = paired_cache_wanted(tc)
+        e_q8 = bool(ecfg.quantize_kv) and e_paired
+
+        def _quantize_dense(kd, vd):
+            """Static per-(layer, slot, head-pair) int8 quantization of a
+            dense window cache (see EngineConfig.quantize_kv)."""
+
+            def q(x):
+                amax = jnp.max(
+                    jnp.abs(x.astype(jnp.float32)), axis=(3, 4), keepdims=True
+                )
+                scale = jnp.maximum(amax * 1.5 / 127.0, 1e-8)
+                qx = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+                return qx.astype(jnp.int8), scale
+
+            kq, ksc = q(kd)
+            vq, vsc = q(vd)
+            return kq, vq, ksc, vsc
 
         def _paged_step(params_llm, embeds, kq, vq, block_table, sl, active):
             if use_fused:
@@ -214,7 +239,7 @@ class ContinuousBatchingEngine:
                 )
             return llama_decode_step_paged(
                 params_llm, cfg.text, embeds, kq, vq,
-                block_table, sl, active, use_kernel=ecfg.use_kernel,
+                block_table, sl, active,
             )
 
         @partial(jax.jit, donate_argnums=(1, 2), static_argnames=())
@@ -302,16 +327,28 @@ class ContinuousBatchingEngine:
             kd, vd = gather_pages_dense(
                 k_pool, v_pool, block_table, s_base, steps, paired=e_paired
             )
+            ksc = vsc = None
+            if e_q8:
+                kd, vd, ksc, vsc = _quantize_dense(kd, vd)
             cache0 = KVCache(
                 k=kd, v=vd, prompt_lens=seq_lens,
                 write_pos=jnp.asarray(s_base, jnp.int32),
+                k_scale=ksc, v_scale=vsc,
             )
             packed, cache, counts = _window_loop(
                 params, cache0, cur, active, rem, s_base, steps
             )
+            # flush only the window's new columns (s_base=0 against the
+            # sliced dense — same convention as the fresh path), dequantized
+            # back to the bf16 pools when the window ran int8
+            kwin = cache.k[:, :, :, s_base : s_base + steps]
+            vwin = cache.v[:, :, :, s_base : s_base + steps]
+            if e_q8:
+                kwin = (kwin.astype(jnp.float32) * ksc).astype(dtype)
+                vwin = (vwin.astype(jnp.float32) * vsc).astype(dtype)
             k_pool, v_pool = flush_window_pages(
-                k_pool, v_pool, cache.k, cache.v, block_table,
-                seq_lens, counts, s_base, steps,
+                k_pool, v_pool, kwin, vwin, block_table,
+                seq_lens, counts, 0, steps,
             )
             return packed, k_pool, v_pool
 
@@ -346,15 +383,23 @@ class ContinuousBatchingEngine:
             vt = vs.transpose(0, 1, 3, 2, 4)[:, :, :, :cols]
             kd = kd.at[:, slot_idx, :, :cols].set(kt.astype(kd.dtype))
             vd = vd.at[:, slot_idx, :, :cols].set(vt.astype(vd.dtype))
+            ksc = vsc = None
+            if e_q8:
+                kd, vd, ksc, vsc = _quantize_dense(kd, vd)
             cache0 = KVCache(
                 k=kd, v=vd, prompt_lens=seq_lens,
                 write_pos=jnp.asarray(s_base, jnp.int32),
+                k_scale=ksc, v_scale=vsc,
             )
             packed, cache, counts = _window_loop(
                 params, cache0, cur, active, rem, s_base, steps
             )
             kwin = cache.k[:, :, :, s_base : s_base + steps]
             vwin = cache.v[:, :, :, s_base : s_base + steps]
+            if e_q8:
+                # the host-side flush/seed writes bf16 pools
+                kwin = (kwin.astype(jnp.float32) * ksc).astype(dtype)
+                vwin = (vwin.astype(jnp.float32) * vsc).astype(dtype)
             return packed, kwin, vwin
 
         from .paged_cache import flush_window_pages as _fwp

@@ -6,10 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from grasp_any_region_tpu.ops.attention import mha_reference
-from grasp_any_region_tpu.ops.paged_attention import (
-    paged_attention,
-    paged_attention_reference,
-)
+from grasp_any_region_tpu.ops.paged_attention import paged_attention_reference
 from grasp_any_region_tpu.serve.paged_cache import (
     PageAllocator,
     append_token_pages,
@@ -40,8 +37,7 @@ def _paginate(rng, k, v, page_size, num_pages, max_pages):
     return pool_k, pool_v, bt
 
 
-@pytest.mark.parametrize("impl", ["reference", "kernel"])
-def test_paged_attention_matches_dense(rng, impl):
+def test_paged_attention_matches_dense(rng):
     b, s, h, kh, d, ps = 3, 100, 4, 2, 64, 32
     q = rng.standard_normal((b, h, d)).astype(np.float32)
     k = rng.standard_normal((b, s, kh, d)).astype(np.float32)
@@ -49,16 +45,10 @@ def test_paged_attention_matches_dense(rng, impl):
     seq_lens = np.asarray([100, 37, 64], np.int32)
     pool_k, pool_v, bt = _paginate(rng, k, v, ps, num_pages=32, max_pages=4)
 
-    if impl == "reference":
-        out = paged_attention_reference(
-            jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
-            jnp.asarray(bt), jnp.asarray(seq_lens),
-        )
-    else:
-        out = paged_attention(
-            jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
-            jnp.asarray(bt), jnp.asarray(seq_lens), interpret=True,
-        )
+    out = paged_attention_reference(
+        jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(bt), jnp.asarray(seq_lens),
+    )
     # dense reference: mask keys beyond each row's seq_len via kv segment ids
     ref = mha_reference(
         jnp.asarray(q)[:, None], jnp.asarray(k), jnp.asarray(v),
