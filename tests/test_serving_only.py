@@ -1,0 +1,113 @@
+"""Serving-only weight mode (models/quantize.serving_weights): int8 decoder
+weights with NO resident bf16 copies.
+
+The r3 16-slot serving OOM was dual bf16+int8 param residency
+(docs/PERF_NOTES.md addendum 8); this mode drops the bf16 decoder matmuls
+and (tied) embed table, with prefill falling back to dequantize-in-matmul
+(_proj) and the int8 table lookup (embed_tokens).
+"""
+
+import pytest
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grasp_any_region_tpu.core.config import gar_tiny
+from grasp_any_region_tpu.models import init_gar_params
+from grasp_any_region_tpu.models.llama import (
+    embed_tokens,
+    init_llama_params,
+    llama_prefill,
+    lm_logits,
+)
+from grasp_any_region_tpu.models.quantize import (
+    DECODE_MATMULS,
+    dequantize,
+    quantize_decode_weights,
+    serving_weights,
+)
+
+
+def _llm_setup(dtype=jnp.float32):
+    cfg = gar_tiny()
+    params = {"llm": init_llama_params(jax.random.PRNGKey(0), cfg.text, dtype=dtype)}
+    return cfg, params
+
+
+def test_serving_weights_drop_bf16_copies():
+    cfg, params = _llm_setup()
+    sv = serving_weights(params)
+    blocks = sv["llm"]["blocks"]
+    for name in DECODE_MATMULS:
+        assert name not in blocks, f"bf16 {name} still resident"
+        assert f"{name}_q8" in blocks and blocks[f"{name}_q8"].dtype == jnp.int8
+    # gar_tiny ties embeddings -> the bf16 table goes too
+    assert cfg.text.tie_word_embeddings
+    assert "embed" not in sv["llm"]
+    assert sv["llm"]["lm_head_q8"].dtype == jnp.int8
+    # originals untouched (quantize is non-destructive on the input tree)
+    assert "wq" in params["llm"]["blocks"] and "embed" in params["llm"]
+
+
+def test_serving_prefill_matches_dequantized_weights():
+    """Prefill through the q8 fallback == prefill on explicitly dequantized
+    weights (the fallback is a memory layout change, not a numerics one)."""
+    cfg, params = _llm_setup()
+    sv = serving_weights(params)
+
+    # reference: materialize bf16-from-int8 weights and run the normal path
+    deq = {"blocks": dict(sv["llm"]["blocks"])}
+    for name in DECODE_MATMULS:
+        deq["blocks"][name] = dequantize(
+            deq["blocks"][name + "_q8"], deq["blocks"][name + "_scale"],
+            dtype=jnp.float32,
+        )
+    deq["embed"] = dequantize(
+        sv["llm"]["lm_head_q8"], sv["llm"]["lm_head_scale"], dtype=jnp.float32
+    )
+    deq["final_norm"] = sv["llm"]["final_norm"]
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 100, (2, 16)), jnp.int32
+    )
+    positions = jnp.tile(jnp.arange(16, dtype=jnp.int32), (2, 1))
+    e_sv = embed_tokens(sv["llm"], ids, jnp.float32)
+    e_ref = embed_tokens(deq, ids, jnp.float32)
+    np.testing.assert_allclose(np.asarray(e_sv), np.asarray(e_ref), atol=1e-6)
+
+    h_sv, _ = llama_prefill(sv["llm"], cfg.text, e_sv, positions, use_flash=False)
+    h_ref, _ = llama_prefill(deq, cfg.text, e_ref, positions, use_flash=False)
+    np.testing.assert_allclose(np.asarray(h_sv), np.asarray(h_ref), atol=1e-4)
+
+    l_sv = lm_logits(sv["llm"], cfg.text, h_sv[:, -1])
+    l_ref = lm_logits(deq, cfg.text, h_ref[:, -1])
+    np.testing.assert_allclose(np.asarray(l_sv), np.asarray(l_ref), atol=1e-3)
+
+
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
+def test_serving_generate_runs_end_to_end():
+    """generate() over the FULL GAR stack with serving-only weights: the
+    vision tower stays bf16, the decoder runs int8-everywhere, and the
+    fused decode picks the q8 kernels (q8 flag keys off wq_q8 presence)."""
+    from grasp_any_region_tpu.data.synthetic import synthetic_batch
+    from grasp_any_region_tpu.models.generate import generate
+
+    cfg = gar_tiny()
+    params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    sv = serving_weights(params)
+    batch, _, prompt_lens = synthetic_batch(cfg, batch=2, grid=(2, 1),
+                                            regions=1, seed=0)
+    out = generate(sv, cfg, batch, prompt_lens, max_new_tokens=4, eot_id=-1,
+                   mask_compat=False)
+    toks = np.asarray(out.tokens)
+    assert toks.shape == (2, 4)
+    assert (toks >= 0).all()
+
+    # both-copies mode must produce the SAME decode trajectory when prefill
+    # numerics match: compare against quantize without drop, re-running
+    # prefill on the dequantized-int8 weights is covered above; here we just
+    # assert the dual-copy path still works for training-time eval
+    dual = quantize_decode_weights(params)
+    out2 = generate(dual, cfg, batch, prompt_lens, max_new_tokens=4, eot_id=-1,
+                    mask_compat=False)
+    assert np.asarray(out2.tokens).shape == (2, 4)
