@@ -119,6 +119,7 @@ def encode_images(
     mask_compat: bool = True,
     remat: bool = False,
     compute_dtype=jnp.bfloat16,
+    mesh=None,
 ) -> jnp.ndarray:
     """-> (T, tokens_per_tile, Dt) projected image features.
 
@@ -131,7 +132,7 @@ def encode_images(
         mask_embeds = mask_patch_embed(params, cfg, binary.astype(compute_dtype))
     hidden = vision_forward(
         params["vision"], cfg.vision, pixel_values, mask_embeds,
-        remat=remat, compute_dtype=compute_dtype,
+        remat=remat, compute_dtype=compute_dtype, mesh=mesh,
     )
     if cfg.vision_use_cls_token:
         hidden = hidden[:, 1:, :]
@@ -191,6 +192,7 @@ def build_prefill_embeds(
     feats = encode_images(
         params, cfg, pix, msk,
         mask_compat=mask_compat, remat=remat, compute_dtype=compute_dtype,
+        mesh=mesh,
     )  # (B*T, tok, Dt)
     feats = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
     if mesh is not None:
@@ -200,12 +202,21 @@ def build_prefill_embeds(
             feats, NamedSharding(mesh, P(("data", "fsdp"), None, None, None))
         )
 
-    tok_embeds = embed_tokens(params["llm"], batch.input_ids, compute_dtype)
+    tok_embeds = embed_tokens(params["llm"], batch.input_ids, compute_dtype,
+                              mesh=mesh)
 
     media_ids = cfg.video_token_id if video_mode else cfg.image_token_id
     embeds = jax.vmap(
         lambda ids, te, f: scatter_image_features(ids, te, f, media_ids)
     )(batch.input_ids, tok_embeds, feats)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # The scatter's gather component otherwise inherits the projector's
+        # hidden-dim sharding and pays a full-remat reshard downstream.
+        embeds = jax.lax.with_sharding_constraint(
+            embeds, NamedSharding(mesh, P(("data", "fsdp"), None, None))
+        )
 
     if video_mode:
         from .replay import replay_features_video

@@ -73,11 +73,9 @@ def generate(
     Token-for-token parity with the single-device path is asserted by
     tests/test_tp_inference.py on the virtual CPU mesh."""
     b, s = batch.input_ids.shape
-    if mesh is not None and mesh.size > 1 and mesh.shape.get("seq", 1) == 1:
-        # non-SP multi-chip: attention is partitioned by GSPMD, which cannot
-        # see inside a pallas_call — use the XLA path (SP instead wraps the
-        # kernel in shard_map, where per-shard Pallas is legal)
-        use_flash = False
+    # non-SP multi-chip prefill keeps the flash kernel: mha wraps the
+    # pallas_call in shard_map under a multi-device mesh (ops/attention.py
+    # _flash_sharded) — GSPMD alone cannot partition a Mosaic kernel
     hidden, kv = gar_prefill(
         params, cfg, batch,
         mask_compat=mask_compat, double_scale_compat=double_scale_compat,

@@ -86,7 +86,17 @@ def init_llama_params(
 
 
 def _proj(bp: dict, name: str, x: jnp.ndarray, lora_scaling=None) -> jnp.ndarray:
-    out = x @ bp[name].astype(x.dtype)
+    w = bp.get(name)
+    if w is None:
+        # serving-only weights (models/quantize.serving_weights): the bf16
+        # copy was dropped; dequantize inside the matmul read — XLA fuses
+        # the int8->bf16 convert, and the per-output-channel scale commutes
+        # with the contraction so it applies to the product
+        out = (x @ bp[f"{name}_q8"].astype(x.dtype)) * bp[
+            f"{name}_scale"
+        ].astype(x.dtype)
+    else:
+        out = x @ w.astype(x.dtype)
     if lora_scaling is not None and f"{name}_lora_a" in bp:
         from ..train.lora import lora_delta
 
@@ -164,7 +174,8 @@ def llama_prefill(
     def attend(q, k, v):
         if not sp:
             return mha(q, k, v, causal=True, segment_ids=segment_ids,
-                       use_flash=use_flash, right_padded=right_padded)
+                       use_flash=use_flash, right_padded=right_padded,
+                       mesh=mesh)
         batch_axes = ("data", "fsdp")
         if ulysses_ok:
             return ulysses_attention(
@@ -345,7 +356,7 @@ def llama_decode_step(
             v_all, v_new.astype(v_all.dtype)[None], (l, 0, 0, wp, 0)
         )
         a = attend(q[:, 0], k_all, v_all, l)  # (B, H, Dh)
-        a = a.reshape(b, 1, -1) @ bp["wo"].astype(x.dtype)
+        a = _proj(bp, "wo", a.reshape(b, 1, -1))
         x = x + a
         y = rms_norm(x, bp["mlp_norm"], eps)
         x = x + _mlp(bp, y)
@@ -587,7 +598,7 @@ def llama_decode_step_paged(
         k_pool = k_pool.at[l, :, pid, off].set(k[:, 0].astype(k_pool.dtype))
         v_pool = v_pool.at[l, :, pid, off].set(v[:, 0].astype(v_pool.dtype))
         a = attend(q[:, 0], k_pool[l], v_pool[l])  # (B, H, Dh)
-        x = x + (a.reshape(b, 1, -1) @ bp["wo"].astype(x.dtype))
+        x = x + _proj(bp, "wo", a.reshape(b, 1, -1))
         y = rms_norm(x, bp["mlp_norm"], eps)
         x = x + _mlp(bp, y)
     return x, k_pool, v_pool
@@ -693,8 +704,42 @@ def llama_decode_step_paged_fused(
     return x[:b][:, None], k_pool, v_pool
 
 
-def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return params["embed"].astype(dtype)[input_ids]
+def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16,
+                 mesh=None) -> jnp.ndarray:
+    """Token embedding lookup.
+
+    mesh: when given, the (vocab, D)-sharded table is explicitly constrained
+    to replicated BEFORE the gather — the standard fsdp all-gather-before-use
+    — and the output to batch sharding. Without this, GSPMD keeps the
+    gather's output sharded on the hidden dim (inherited from the table) and
+    then pays an 'involuntary full rematerialization' reshard to reach the
+    (batch, seq)-sharded activation layout (observed in MULTICHIP_r03.json).
+    """
+    table = params.get("embed")
+    if table is None:
+        # serving-only weights with tied embeddings: the bf16 table was
+        # dropped; the (V, D) int8 head with per-vocab-row scales doubles as
+        # the lookup table (gather int8 rows -> half the HBM read, then
+        # scale). quantize_decode_weights only drops 'embed' in the tied
+        # case, where lm_head_q8 has exactly this orientation.
+        q8 = params["lm_head_q8"]
+        assert q8.shape[0] == params["lm_head_scale"].shape[0], (
+            "embed fallback needs the tied (V, D) head layout"
+        )
+        rows = q8[input_ids].astype(dtype)
+        return rows * params["lm_head_scale"][input_ids].astype(dtype)
+    table = table.astype(dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        table = jax.lax.with_sharding_constraint(
+            table, NamedSharding(mesh, P(None, None))
+        )
+        out = table[input_ids]
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(("data", "fsdp"), None, None))
+        )
+    return table[input_ids]
 
 
 def lm_logits(

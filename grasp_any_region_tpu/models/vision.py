@@ -100,7 +100,7 @@ def patchify(pixel_values: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
 
 
 def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.ndarray],
-           use_flash: Optional[bool] = None):
+           use_flash: Optional[bool] = None, mesh=None):
     """One transformer block. x: (T, S, D); angles: (H, N, d/2) or None."""
     t, s, d = x.shape
     h = cfg.num_heads
@@ -116,13 +116,16 @@ def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.nda
         # no head-major transpose round trips)
         q = apply_rope_2d_tshd(q, angles, n_prefix)
         k = apply_rope_2d_tshd(k, angles, n_prefix)
+    multi = mesh is not None and mesh.size > 1
     on_tpu = jax.default_backend() == "tpu"
-    if use_flash is not False and on_tpu and s <= 2048:
+    if use_flash is not False and on_tpu and s <= 2048 and not multi:
         # fused single-pass kernel: whole (S, S) logits block lives in VMEM
         # (custom_vjp wrapper — training differentiates through this path)
         attn = vit_attention_df(q, k, v)
     else:
-        attn = mha(q, k, v, causal=False, use_flash=use_flash)
+        # multi-device: mha's shard_map wrapper keeps the Pallas path legal
+        # under GSPMD (tiles shard over data/fsdp, heads over tensor)
+        attn = mha(q, k, v, causal=False, use_flash=use_flash, mesh=mesh)
     attn = attn.reshape(t, s, d) @ bp["wo"].astype(x.dtype) + bp["bo"].astype(x.dtype)
     if "ls1" in bp:
         attn = attn * bp["ls1"].astype(attn.dtype)
@@ -137,33 +140,22 @@ def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.nda
     return x + y
 
 
-def vision_forward(
+def vision_embed(
     params: dict,
     cfg: VisionConfig,
     pixel_values: jnp.ndarray,
     mask_embeds: Optional[jnp.ndarray] = None,
     *,
-    remat: bool = False,
     compute_dtype=jnp.bfloat16,
-    use_flash: Optional[bool] = None,
-    fused_blocks: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Run the tower.
+):
+    """Everything before the transformer blocks: patchify + patch embed +
+    mask-embed injection + CLS + abs pos + ln_pre, plus the per-layer rope
+    angle tables. Split out of vision_forward so the parity harness
+    (cli/parity.py) can checksum the patch-embed stage and run block 0 in
+    isolation — localizing a real-checkpoint mismatch to a module in
+    minutes instead of bisecting the whole tower.
 
-    pixel_values: (T, 3, H, W) — T = total tiles (thumbnails + grid tiles,
-        across the whole batch).
-    mask_embeds: (T, N, D) patch-aligned mask embeddings added right after
-        patch embed (injection point mirrors modeling_perception_lm.py:194-196).
-    Returns (T, S, D) final hidden states (CLS still included at index 0).
-
-    fused_blocks: run each layer as 4 Pallas kernels (ops/vit_block.py +
-    vit_attention_fused_qkv): no separate LN/rope/gelu HBM passes and no
-    head-major transposes; LayerScale folds into the residual kernels.
-    Inference-only (forward kernels have no VJP; training keeps the XLA
-    composition, whose attention has the FA-2 custom_vjp) and requires
-    head_dim 64 (128-lane head pairs), an even head count, and rope
-    enabled. None = auto: on for TPU when not remat'ing and the shapes
-    allow.
+    Returns (x (T, S, D), angles (L, H, N, d/2) or None).
     """
     t = pixel_values.shape[0]
     d = cfg.width
@@ -192,12 +184,50 @@ def vision_forward(
             )
     else:
         angles = None
+    return x, angles
+
+
+def vision_forward(
+    params: dict,
+    cfg: VisionConfig,
+    pixel_values: jnp.ndarray,
+    mask_embeds: Optional[jnp.ndarray] = None,
+    *,
+    remat: bool = False,
+    compute_dtype=jnp.bfloat16,
+    use_flash: Optional[bool] = None,
+    fused_blocks: Optional[bool] = None,
+    mesh=None,
+) -> jnp.ndarray:
+    """Run the tower.
+
+    pixel_values: (T, 3, H, W) — T = total tiles (thumbnails + grid tiles,
+        across the whole batch).
+    mask_embeds: (T, N, D) patch-aligned mask embeddings added right after
+        patch embed (injection point mirrors modeling_perception_lm.py:194-196).
+    Returns (T, S, D) final hidden states (CLS still included at index 0).
+
+    fused_blocks: run each layer as 4 Pallas kernels (ops/vit_block.py +
+    vit_attention_fused_qkv): no separate LN/rope/gelu HBM passes and no
+    head-major transposes; LayerScale folds into the residual kernels.
+    Inference-only (forward kernels have no VJP; training keeps the XLA
+    composition, whose attention has the FA-2 custom_vjp) and requires
+    head_dim 64 (128-lane head pairs), an even head count, and rope
+    enabled. None = auto: on for TPU when not remat'ing and the shapes
+    allow.
+    """
+    x, angles = vision_embed(
+        params, cfg, pixel_values, mask_embeds, compute_dtype=compute_dtype
+    )
 
     blocks = params["blocks"]
 
+    multi = mesh is not None and mesh.size > 1
     if fused_blocks is None:
         fused_blocks = (
             not remat
+            and not multi  # fused kernels have no shard_map wrapper yet;
+                           # multi-device uses mha's sharded flash path
             and jax.default_backend() == "tpu"
             and cfg.head_dim == 64
             and cfg.num_heads % 2 == 0
@@ -251,7 +281,7 @@ def vision_forward(
 
     def body(carry, layer):
         bp, ang = layer
-        out = _block(cfg, carry, bp, ang, use_flash)
+        out = _block(cfg, carry, bp, ang, use_flash, mesh=mesh)
         return out, None
 
     if angles is not None:
@@ -261,7 +291,7 @@ def vision_forward(
 
         def body(carry, layer):  # noqa: F811
             bp, _ = layer
-            return _block(cfg, carry, bp, None, use_flash), None
+            return _block(cfg, carry, bp, None, use_flash, mesh=mesh), None
 
     body_fn = jax.checkpoint(body) if remat else body
     x, _ = jax.lax.scan(body_fn, x, xs)

@@ -87,6 +87,67 @@ def mha_reference(
     return out.astype(q.dtype)
 
 
+def _flash_sharded(q, k, v, causal, segment_ids, scale, mesh):
+    """Run the flash kernel per-shard under `mesh` via shard_map.
+
+    GSPMD cannot partition a pallas_call ("Mosaic kernels cannot be
+    automatically partitioned") — so under a multi-device mesh the kernel
+    must be explicitly placed. Attention is embarrassingly parallel over
+    batch and heads: shard batch over ('data','fsdp'), q/kv heads over
+    'tensor' (matching parallel/sharding.py's activation layout, so the
+    in_specs are a no-op reshard in the sharded train/prefill paths), and
+    degrade any non-dividing dim to replicated — identical math, duplicated
+    work on that axis only. The custom_vjp (flash_attention_df) applies
+    per-shard, so training differentiates through this wrapper unchanged.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .flash_attention import flash_attention_df
+
+    names = mesh.axis_names
+    b, sq, h, _ = q.shape
+    kh = k.shape[2]
+    bt = tuple(
+        a for a in ("data", "fsdp") if a in names and mesh.shape[a] > 1
+    )
+    bsz = 1
+    for a in bt:
+        bsz *= mesh.shape[a]
+    if bt and b % bsz != 0:
+        bt = ()  # replicate batch when it doesn't divide
+    tensor = None
+    if "tensor" in names and mesh.shape["tensor"] > 1:
+        t = mesh.shape["tensor"]
+        if h % t == 0 and kh % t == 0:
+            tensor = "tensor"
+    bspec = bt if bt else None
+    qspec = P(bspec, None, tensor, None)
+    sspec = P(bspec, None)
+
+    has_segs = segment_ids is not None
+
+    def local(qq, kk, vv, seg):
+        return flash_attention_df(
+            qq, kk, vv, causal, seg if has_segs else None, scale
+        )
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(qspec, qspec, qspec, sspec),
+        out_specs=qspec,
+        # concrete checker limitation: pallas_call's out_shape
+        # ShapeDtypeStructs carry no vma, so the varying-manual-axes check
+        # cannot type the kernel's output and rejects the (otherwise valid)
+        # program ("vma on jax.ShapeDtypeStruct must not be None")
+        check_vma=False,
+    )
+    seg_arg = (
+        segment_ids if has_segs else jnp.zeros((b, sq), jnp.int32)
+    )
+    return fn(q, k, v, seg_arg)
+
+
 def mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -97,6 +158,7 @@ def mha(
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
     right_padded: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Dispatching attention entry point.
 
@@ -109,6 +171,13 @@ def mha(
     pads, so the flash kernel can drop the segment mask and stay exact.
     Packed multi-document rows keep right_padded=False and use the kernel's
     block-diagonal segment masking (self-attention only, Sq == Sk).
+
+    mesh: pass the active multi-device Mesh to keep the flash kernel on the
+    sharded path — the pallas_call runs per-shard inside shard_map
+    (_flash_sharded); without it GSPMD cannot partition the kernel and
+    multi-chip jits fail to compile. The TPU-vs-not decision then follows
+    the MESH's device platform (an AOT lowering for a v5e topology must pick
+    the kernel even when the host process defaults to CPU).
     """
     sq = q.shape[1]
     # the kernel ignores segments when causality already covers them
@@ -118,18 +187,23 @@ def mha(
         or (causal and right_padded)
         or (causal and sq == k.shape[1])
     )
+    multi = mesh is not None and mesh.size > 1
     if use_flash is None:
-        on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and sq >= 1024 and flash_safe
+        platform = (
+            mesh.devices.flat[0].platform if multi else jax.default_backend()
+        )
+        use_flash = platform == "tpu" and sq >= 1024 and flash_safe
     if use_flash and flash_safe:
+        flash_segs = None
+        if segment_ids is not None and not (causal and right_padded):
+            flash_segs = segment_ids
+        if multi:
+            return _flash_sharded(q, k, v, causal, flash_segs, scale, mesh)
         # the _df wrapper adds a reference-backward custom_vjp so training
         # paths can differentiate through the Pallas kernel; identical to
         # flash_attention when no gradients flow
         from .flash_attention import flash_attention_df
 
-        flash_segs = None
-        if segment_ids is not None and not (causal and right_padded):
-            flash_segs = segment_ids
         return flash_attention_df(q, k, v, causal, flash_segs, scale)
     return mha_reference(
         q, k, v, causal=causal, segment_ids=segment_ids, scale=scale

@@ -141,7 +141,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     return_lse: bool = False,
 ):
     """segment_ids enables packed multi-document rows (block-diagonal mask,
@@ -156,6 +156,10 @@ def flash_attention(
     _, sk, kh, _ = k.shape
     assert h % kh == 0
     group = h // kh
+    if interpret is None:
+        # auto: Mosaic on TPU, interpreter elsewhere — lets mha(use_flash=True)
+        # (and its shard_map wrapper) run unchanged on the CPU test mesh
+        interpret = jax.default_backend() != "tpu"
     if segment_ids is not None:
         assert sq == sk, "segment_ids requires self-attention (Sq == Sk)"
         assert segment_ids.shape == (b, sq), segment_ids.shape
