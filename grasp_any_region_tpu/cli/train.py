@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining devices")
     p.add_argument("--tensor", type=int, default=1)
     p.add_argument("--seq", type=int, default=1)
+    p.add_argument("--pipe", type=int, default=1,
+                   help="pipeline-parallel stages (decoder layers partition; "
+                        "requires --tensor 1 --seq 1)")
     p.add_argument("--export-hf", default=None, help="export dir after training")
     p.add_argument("--no-save-optimizer", action="store_true")
     args = p.parse_args(argv)
@@ -71,8 +74,13 @@ def main(argv=None):
         cfg, tok, DatasetConfig(annotation_paths=args.data)
     )
     n_dev = len(jax.devices())
-    fsdp = args.fsdp or max(1, n_dev // (args.data_axis * args.tensor * args.seq))
-    mesh = MeshSpec(data=args.data_axis, fsdp=fsdp, tensor=args.tensor, seq=args.seq)
+    if args.pipe > 1 and (args.tensor > 1 or args.seq > 1):
+        p.error("--pipe composes with data/fsdp only (use --tensor 1 --seq 1)")
+    fsdp = args.fsdp or max(
+        1, n_dev // (args.data_axis * args.tensor * args.seq * args.pipe)
+    )
+    mesh = MeshSpec(data=args.data_axis, fsdp=fsdp, tensor=args.tensor,
+                    seq=args.seq, pipe=args.pipe)
     total_steps = args.max_steps or len(dataset)
     opt_cfg = OptimizerConfig(
         lr=args.lr,

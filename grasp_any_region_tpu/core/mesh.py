@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "tensor", "seq")
+AXES = ("data", "fsdp", "tensor", "seq", "pipe")
 
 
 @dataclass(frozen=True)
@@ -34,13 +34,18 @@ class MeshSpec:
     fsdp: int = 1
     tensor: int = 1
     seq: int = 1
+    # pipeline parallelism: decoder layers partitioned over stages
+    # (parallel/pipeline.py). Composes with data/fsdp as batch parallelism;
+    # tensor/seq must stay 1 when pipe > 1 (the stage body runs dense
+    # per-stage matmuls — enforced by train.trainer/step).
+    pipe: int = 1
 
     @property
     def size(self) -> int:
-        return self.data * self.fsdp * self.tensor * self.seq
+        return self.data * self.fsdp * self.tensor * self.seq * self.pipe
 
-    def axis_sizes(self) -> tuple[int, int, int, int]:
-        return (self.data, self.fsdp, self.tensor, self.seq)
+    def axis_sizes(self) -> tuple[int, int, int, int, int]:
+        return (self.data, self.fsdp, self.tensor, self.seq, self.pipe)
 
 
 def make_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence] = None) -> Mesh:

@@ -13,7 +13,7 @@ Design (TPU-native — XLA collectives over ICI, no NCCL p2p):
   ``params["blocks"]`` (every leaf is ``(L, ...)``, see
   models/llama.py:56) shards over it with ``PartitionSpec('pipe')`` —
   each stage holds ``L/P`` contiguous layers and weights are never
-  duplicated.
+  duplicated (parallel/sharding.py's ``param_pspecs(pipe=True)``).
 * ``shard_map`` runs the classic GPipe loop: ``M`` microbatches flow
   through the ``P`` stages in ``M+P-1`` ticks. Each tick, every stage
   applies its local layer slice (a ``lax.scan`` over the slice — the
@@ -29,10 +29,14 @@ Design (TPU-native — XLA collectives over ICI, no NCCL p2p):
   checkpoints each layer body exactly like ``llama_prefill(remat=True)``
   so only inter-layer activations live across the backward.
 
-Compose with data parallelism by adding the usual ``data`` axis to the
-same mesh and sharding the batch over it; tensor/sequence axes remain
-the better fit for <=8B (SURVEY §2.3) so this module intentionally stays
-orthogonal to parallel/sharding.py's rules.
+Composition: when the mesh also carries ``data``/``fsdp`` axes, the
+microbatch dim shards over them — each data-parallel group runs its own
+pipeline on its batch rows; shard_map's transpose psums the weight grads
+over the replicated axes, exactly DDP semantics. ``tensor``/``seq`` must
+stay 1 (the stage body runs dense per-stage matmuls); ``train.step``
+enforces this. Results leave the loop via a pipe-stacked output (the
+last stage's slice is sliced out by the caller) instead of an
+O(B*S*D) psum over every stage.
 """
 
 from __future__ import annotations
@@ -76,19 +80,38 @@ def pipeline_prefill(
     n_micro: Optional[int] = None,
     remat: bool = False,
     use_flash: Optional[bool] = None,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) packing/padding mask
+    right_padded: bool = True,
 ) -> jnp.ndarray:
     """Decoder forward, layer-partitioned over the mesh's 'pipe' axis.
 
     Numerically identical to llama_prefill's hidden states (same per-layer
-    body; tests/test_pipeline.py asserts parity fwd+bwd). Returns hidden
+    body incl. LoRA deltas and segment-aware attention;
+    tests/test_pipeline.py asserts parity fwd+bwd). Returns hidden
     (B, S, D); the final rms_norm/lm head stay with the caller, as in
     llama_prefill. KV stacks are not returned — the pipelined path is a
     training-forward surface; inference keeps the TP/fused-decode path.
+
+    The mesh may be the 1-D ('pipe',) mesh or a composed
+    (data, fsdp, ..., pipe) mesh: the microbatch dim shards over
+    data/fsdp, pipe partitions the layers. n_micro defaults to
+    B // (data*fsdp) so each data-parallel shard owns whole microbatches.
     """
     n_stages = mesh.shape["pipe"]
     B, S, D = inputs_embeds.shape
+    names = mesh.axis_names
+    dp_axes = tuple(a for a in ("data", "fsdp") if a in names)
+    dp = 1
+    for a in dp_axes:
+        dp *= mesh.shape[a]
+    for a in ("tensor", "seq"):
+        if a in names and mesh.shape[a] > 1:
+            raise ValueError(
+                f"pipeline_prefill composes with data/fsdp only; mesh axis "
+                f"'{a}' has size {mesh.shape[a]} (must be 1 when pipe > 1)"
+            )
     if n_micro is None:
-        n_micro = B
+        n_micro = max(1, B // max(dp, 1))
     if B % n_micro != 0:
         raise ValueError(f"batch {B} must divide into n_micro={n_micro}")
     if cfg.num_layers % n_stages != 0:
@@ -96,34 +119,58 @@ def pipeline_prefill(
             f"num_layers {cfg.num_layers} must divide pipe axis {n_stages}"
         )
     M, mb = n_micro, B // n_micro
+    if dp > 1 and mb % dp != 0:
+        raise ValueError(
+            f"microbatch rows {mb} must divide over data*fsdp={dp} "
+            f"(lower n_micro or raise the batch)"
+        )
     eps = cfg.rms_norm_eps
     dh = cfg.head_dim
+    lora_scaling = params.get("lora_scaling")
+    has_lora = lora_scaling is not None
 
     cos, sin = rope_cos_sin(positions, llama_inv_freq(cfg))  # (B, S, Dh)
     embeds_mb = inputs_embeds.reshape(M, mb, S, D)
     cos_mb = cos.reshape(M, mb, S, dh)
     sin_mb = sin.reshape(M, mb, S, dh)
+    has_seg = segment_ids is not None
+    seg_mb = segment_ids.reshape(M, mb, S) if has_seg else jnp.zeros((M, mb, S), jnp.int32)
 
-    def stage(blocks_local, x, cos_t, sin_t):
+    def stage(blocks_local, ls, x, cos_t, sin_t, seg_t):
         # same block body as llama_prefill (models/llama.py:178), minus the
         # SP/ring branches — pipe composes with plain per-stage attention
+        seg = seg_t if has_seg else None
+        scal = ls if has_lora else None
+
         def body(x, bp):
             y = rms_norm(x, bp["attn_norm"], eps)
-            q, k, v = _qkv(cfg, bp, y, cos_t, sin_t)
-            a = mha(q, k, v, causal=True, use_flash=use_flash)
-            a = _proj(bp, "wo", a.reshape(x.shape[0], x.shape[1], -1))
+            q, k, v = _qkv(cfg, bp, y, cos_t, sin_t, scal)
+            a = mha(q, k, v, causal=True, segment_ids=seg,
+                    use_flash=use_flash, right_padded=right_padded)
+            a = _proj(bp, "wo", a.reshape(x.shape[0], x.shape[1], -1), scal)
             x = x + a
             y = rms_norm(x, bp["mlp_norm"], eps)
-            return x + _mlp(bp, y), None
+            return x + _mlp(bp, y, scal), None
 
         body_fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(body_fn, x, blocks_local)
         return x
 
-    def pipelined(blocks_local, embeds, cos_r, sin_r):
+    mb_dim = dp_axes if dp_axes else None
+
+    def pipelined(blocks_local, ls, embeds, cos_r, sin_r, seg_r):
         idx = jax.lax.axis_index("pipe")
-        state = jnp.zeros((mb, S, D), embeds.dtype)
-        outs = jnp.zeros((M, mb, S, D), embeds.dtype)
+        # initial carries are device-varying over pipe after tick 1 (each
+        # stage computes different values) and over the data axes (each dp
+        # shard pipelines its own rows); mark them so the scan carry type
+        # is stable under the VMA (varying-manual-axes) check
+        vary = ("pipe",) + dp_axes
+        state = jax.lax.pcast(
+            jnp.zeros(embeds.shape[1:], embeds.dtype), vary, to="varying"
+        )  # (mb_loc, S, D)
+        outs = jax.lax.pcast(
+            jnp.zeros(embeds.shape, embeds.dtype), vary, to="varying"
+        )  # (M, mb_loc, S, D)
 
         def tick(carry, t):
             state, outs = carry
@@ -137,7 +184,8 @@ def pipeline_prefill(
             x = jnp.where(idx == 0, inj, state)
             cos_t = jax.lax.dynamic_index_in_dim(cos_r, mb_i, 0, keepdims=False)
             sin_t = jax.lax.dynamic_index_in_dim(sin_r, mb_i, 0, keepdims=False)
-            x = stage(blocks_local, x, cos_t, sin_t)
+            seg_t = jax.lax.dynamic_index_in_dim(seg_r, mb_i, 0, keepdims=False)
+            x = stage(blocks_local, ls, x, cos_t, sin_t, seg_t)
             # last stage retires microbatch t-(P-1)
             ot = jnp.clip(t - (n_stages - 1), 0, M - 1)
             valid = (idx == n_stages - 1) & (t >= n_stages - 1)
@@ -153,18 +201,26 @@ def pipeline_prefill(
         (state, outs), _ = jax.lax.scan(
             tick, (state, outs), jnp.arange(M + n_stages - 1)
         )
-        # results live on the last stage only; zero-mask + psum replicates
-        last = idx == n_stages - 1
-        return jax.lax.psum(jnp.where(last, outs, jnp.zeros_like(outs)), "pipe")
+        # results live on the last stage only; emit a pipe-stacked output
+        # (the caller slices stage P-1) instead of psum-replicating the
+        # whole (M, mb, S, D) buffer through every stage.
+        return outs[None]
 
     from jax import shard_map
 
     fn = shard_map(
         pipelined,
         mesh=mesh,
-        in_specs=(P("pipe"), P(), P(), P()),
-        out_specs=P(),
-        check_vma=False,
+        in_specs=(
+            P("pipe"),                      # blocks: layer dim over stages
+            P(),                            # lora scaling scalar
+            P(None, mb_dim, None, None),    # embeds (M, mb, S, D)
+            P(None, mb_dim, None, None),    # cos
+            P(None, mb_dim, None, None),    # sin
+            P(None, mb_dim, None),          # segment ids
+        ),
+        out_specs=P("pipe", None, mb_dim, None, None),
     )
-    outs = fn(params["blocks"], embeds_mb, cos_mb, sin_mb)
-    return outs.reshape(B, S, D)
+    ls_arg = lora_scaling if has_lora else jnp.zeros((), jnp.float32)
+    outs = fn(params["blocks"], ls_arg, embeds_mb, cos_mb, sin_mb, seg_mb)
+    return outs[-1].reshape(B, S, D)

@@ -79,11 +79,22 @@ def _path_str(key_path) -> str:
     return "/".join(parts)
 
 
-def param_pspecs(params: Any) -> Any:
-    """Tree of PartitionSpecs matching `params`."""
-    return jax.tree_util.tree_map_with_path(
-        lambda kp, x: _pspec_for(_path_str(kp), getattr(x, "ndim", 0)), params
-    )
+def param_pspecs(params: Any, pipe: bool = False) -> Any:
+    """Tree of PartitionSpecs matching `params`.
+
+    pipe: partition the decoder's stacked layer dim over the 'pipe' axis
+    instead of megatron TP/fsdp on the matmul dims — each pipeline stage
+    holds L/P contiguous layers dense (parallel/pipeline.py runs the stage
+    body as plain matmuls inside shard_map, so weight dims must be local).
+    """
+
+    def rule(kp, x):
+        path = _path_str(kp)
+        if pipe and "llm/blocks" in path:
+            return P("pipe")
+        return _pspec_for(path, getattr(x, "ndim", 0))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def sanitize_spec(spec: P, shape, mesh: Mesh) -> P:
@@ -109,7 +120,8 @@ def sanitize_spec(spec: P, shape, mesh: Mesh) -> P:
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
-    specs = param_pspecs(params)
+    pipe = "pipe" in mesh.axis_names and mesh.shape["pipe"] > 1
+    specs = param_pspecs(params, pipe=pipe)
     return jax.tree_util.tree_map(
         lambda x, spec: NamedSharding(
             mesh, sanitize_spec(spec, getattr(x, "shape", ()), mesh)

@@ -37,6 +37,12 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _pipe_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None or "pipe" not in mesh.axis_names:
+        return 1
+    return mesh.shape["pipe"]
+
+
 def loss_fn(
     params: Any,
     cfg: GARConfig,
@@ -49,13 +55,21 @@ def loss_fn(
 ) -> jnp.ndarray:
     embeds = build_prefill_embeds(
         params, cfg, batch, mask_compat=mask_compat, remat=True,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, mesh=mesh,
     )
-    hidden, _ = llama_prefill(
-        params["llm"], cfg.text, embeds, batch.positions,
-        segment_ids=batch.segment_ids, remat=True, use_flash=use_flash,
-        mesh=mesh,
-    )
+    if _pipe_size(mesh) > 1:
+        from ..parallel.pipeline import pipeline_prefill
+
+        hidden = pipeline_prefill(
+            params["llm"], cfg.text, embeds, batch.positions, mesh,
+            segment_ids=batch.segment_ids, remat=True, use_flash=use_flash,
+        )
+    else:
+        hidden, _ = llama_prefill(
+            params["llm"], cfg.text, embeds, batch.positions,
+            segment_ids=batch.segment_ids, remat=True, use_flash=use_flash,
+            mesh=mesh,
+        )
     return chunked_cross_entropy(
         params["llm"], cfg.text, hidden, shift_labels(labels),
         valid_vocab=cfg.extended_vocab_size,
@@ -75,12 +89,22 @@ def packed_loss_fn(
 
     right_padded=False routes attention through the segment-aware flash
     kernel; per-document position ids come pre-reset from pack_text_batch."""
-    embeds = embed_tokens(params["llm"], packed.input_ids, jnp.bfloat16)
-    hidden, _ = llama_prefill(
-        params["llm"], cfg.text, embeds, packed.positions,
-        segment_ids=packed.segment_ids, remat=True, use_flash=use_flash,
-        right_padded=False, mesh=mesh,
-    )
+    embeds = embed_tokens(params["llm"], packed.input_ids, jnp.bfloat16,
+                          mesh=mesh)
+    if _pipe_size(mesh) > 1:
+        from ..parallel.pipeline import pipeline_prefill
+
+        hidden = pipeline_prefill(
+            params["llm"], cfg.text, embeds, packed.positions, mesh,
+            segment_ids=packed.segment_ids, remat=True, use_flash=use_flash,
+            right_padded=False,
+        )
+    else:
+        hidden, _ = llama_prefill(
+            params["llm"], cfg.text, embeds, packed.positions,
+            segment_ids=packed.segment_ids, remat=True, use_flash=use_flash,
+            right_padded=False, mesh=mesh,
+        )
     return chunked_cross_entropy(
         params["llm"], cfg.text, hidden, shift_labels(packed.labels),
         valid_vocab=cfg.extended_vocab_size,
@@ -115,17 +139,50 @@ def make_packed_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def opt_state_shardings(
+    tx: optax.GradientTransformation, params: Any, mesh: Mesh
+) -> Any:
+    """NamedShardings for every optimizer-state leaf: Adam moments mirror
+    their param's placement (ZeRO — the moment only lives on the fsdp shard
+    that owns the weight), scalars/counters replicate.
+
+    This must be EXPLICIT: ``jit(tx.init)(sharded_params)`` does NOT
+    propagate shardings into the moments — they are ``zeros_like`` outputs
+    with no data dependence on the inputs, so GSPMD's solver is free to
+    replicate them (measured: a GAR-8B fsdp=8 train step carried 38.8 GiB
+    of replicated state per device before this pin, 8.6 GiB after —
+    docs/GAR8B_MEMORY.md). ``optax.tree_map_params`` walks multi_transform/
+    masked wrappers to find the param-shaped moment leaves.
+    """
+    from ..parallel.sharding import param_shardings
+
+    opt_shapes = jax.eval_shape(tx.init, params)
+    pshard = param_shardings(params, mesh)
+    replicated = NamedSharding(mesh, P())
+    return optax.tree_map_params(
+        tx,
+        lambda _, psh: psh,
+        opt_shapes,
+        pshard,
+        transform_non_params=lambda _: replicated,
+    )
+
+
 def init_sharded_state(
     params: Any,
     opt_cfg: OptimizerConfig,
     mesh: Optional[Mesh] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    """Shard params onto the mesh, then init optimizer state under jit so
-    moments inherit param shardings."""
+    """Shard params onto the mesh, then init optimizer state under jit with
+    explicitly pinned moment shardings (see opt_state_shardings)."""
     tx = make_optimizer(params, opt_cfg)
     if mesh is not None:
         params = shard_params(params, mesh)
-    opt_state = jax.jit(tx.init)(params)
+        opt_state = jax.jit(
+            tx.init, out_shardings=opt_state_shardings(tx, params, mesh)
+        )(params)
+    else:
+        opt_state = jax.jit(tx.init)(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0)), tx
 
 
@@ -156,6 +213,47 @@ def shard_batch(batch: GARBatch, labels: jnp.ndarray, mesh: Mesh):
     return batch, labels
 
 
+def _train_step_fn(
+    cfg: GARConfig,
+    tx: optax.GradientTransformation,
+    *,
+    mask_compat: bool,
+    use_flash: Optional[bool],
+    mesh: Optional[Mesh],
+):
+    def step_fn(state: TrainState, batch: GARBatch, labels: jnp.ndarray):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(
+                p, cfg, batch, labels, mask_compat=mask_compat,
+                use_flash=use_flash, mesh=mesh,
+            )
+        )(state.params)
+        if mesh is not None:
+            # Pin each gradient to its param's sharding AT the grad's
+            # definition: GSPMD then reduce-scatters every fsdp grad as the
+            # backward produces it (ZeRO-2 grad sharding) and each full-size
+            # grad dies immediately. Without the pin the solver may keep the
+            # whole unsharded grad tree live into the optimizer — measured
+            # +20 GiB/device peak on the GAR-8B fsdp=8 AOT accounting
+            # (docs/GAR8B_MEMORY.md).
+            from ..parallel.sharding import param_shardings
+
+            grads = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint,
+                grads,
+                param_shardings(grads, mesh),
+            )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step_fn
+
+
 def make_train_step(
     cfg: GARConfig,
     tx: optax.GradientTransformation,
@@ -167,20 +265,45 @@ def make_train_step(
 ):
     """mesh: pass the active Mesh to enable sequence parallelism when its
     'seq' axis > 1 (threaded into llama_prefill's Ulysses/ring dispatch)."""
-
-    def step_fn(state: TrainState, batch: GARBatch, labels: jnp.ndarray):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(
-                p, cfg, batch, labels, mask_compat=mask_compat,
-                use_flash=use_flash, mesh=mesh,
-            )
-        )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
-        return (
-            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
-            metrics,
-        )
-
+    step_fn = _train_step_fn(cfg, tx, mask_compat=mask_compat,
+                             use_flash=use_flash, mesh=mesh)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_train_loop(
+    cfg: GARConfig,
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    *,
+    mask_compat: bool = True,
+    use_flash: Optional[bool] = None,
+    donate: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """`n_steps` train steps inside ONE jit (`lax.scan` over the step body):
+    a single dispatch and a single device->host fetch for the whole window.
+
+    Two reasons this exists:
+      * honest timing on relayed/remote device transports that charge per
+        FETCH and replay the un-materialized chain (docs/PERF_NOTES.md
+        round-2 notes) — bench.py's train line times this, not a Python
+        loop of steps;
+      * the lowest-overhead production inner loop — zero per-step host
+        round-trips, exactly the XLA-native analog of the reference's
+        mmengine IterBasedTrainLoop batching host work out of the hot path.
+
+    The same (batch, labels) feed every step of the window (a benchmark
+    harness; the real trainer re-invokes per data batch). Returns
+    (final_state, losses[n_steps])."""
+    step_fn = _train_step_fn(cfg, tx, mask_compat=mask_compat,
+                             use_flash=use_flash, mesh=mesh)
+
+    def loop_fn(state: TrainState, batch: GARBatch, labels: jnp.ndarray):
+        def body(s, _):
+            s, metrics = step_fn(s, batch, labels)
+            return s, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, None, length=n_steps)
+        return state, losses
+
+    return jax.jit(loop_fn, donate_argnums=(0,) if donate else ())

@@ -115,3 +115,92 @@ def test_pipeline_rejects_bad_factorizations():
 def test_bubble_fraction():
     assert pipeline_bubble_fraction(1, 8) == 0.0
     assert pipeline_bubble_fraction(4, 12) == pytest.approx(3 / 15)
+
+
+def test_pipeline_lora_matches_prefill():
+    """LoRA deltas flow through the pipelined stage body (a dropped
+    adapter would zero all LoRA grads silently)."""
+    from grasp_any_region_tpu.train.lora import LoRAConfig, add_lora_params
+
+    cfg, params, embeds, positions = _setup(num_layers=2, B=2, S=16)
+    lcfg = LoRAConfig(rank=4, alpha=8, targets=("wq", "wv"))
+    full = add_lora_params(
+        jax.random.PRNGKey(1), {"llm": params}, cfg, lcfg, dtype=jnp.float32
+    )
+    llm = full["llm"]
+    # lora_b is zero-init (delta = 0); randomize so a dropped delta is visible
+    llm["blocks"]["wq_lora_b"] = (
+        jax.random.normal(jax.random.PRNGKey(2),
+                          llm["blocks"]["wq_lora_b"].shape, jnp.float32) * 0.1
+    )
+    base = _ref_hidden(cfg, params, embeds, positions)
+    ref, _ = llama_prefill(llm, cfg, embeds, positions, use_flash=False)
+    assert not np.allclose(np.asarray(ref), np.asarray(base))  # delta active
+    mesh = make_pipeline_mesh(2)
+    out = pipeline_prefill(llm, cfg, embeds, positions, mesh, n_micro=2,
+                           use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pipeline_segment_ids_matches_prefill():
+    """Packed multi-document rows (right_padded=False) keep the block-diagonal
+    segment mask through the pipelined path."""
+    cfg, params, embeds, positions = _setup(num_layers=2, B=2, S=16)
+    seg = jnp.asarray(
+        np.repeat(np.array([[1, 1, 2, 2], [1, 2, 2, 3]]), 4, axis=1), jnp.int32
+    )
+    ref, _ = llama_prefill(params, cfg, embeds, positions, segment_ids=seg,
+                           right_padded=False, use_flash=False)
+    mesh = make_pipeline_mesh(2)
+    out = pipeline_prefill(params, cfg, embeds, positions, mesh, n_micro=2,
+                           segment_ids=seg, right_padded=False,
+                           use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # and the mask matters: dropping it changes the answer
+    nomask = pipeline_prefill(params, cfg, embeds, positions, mesh, n_micro=2,
+                              use_flash=False)
+    assert not np.allclose(np.asarray(nomask), np.asarray(ref))
+
+
+def test_pipeline_composed_train_step_matches_single_device():
+    """The INTEGRATED path: cli/train --pipe 2 --fsdp 2 drives
+    make_train_step over a (fsdp=2, pipe=2) mesh; loss and updated params
+    must match the single-device step (VERDICT r3 Next #6). Kept at a
+    4-device mesh + 2-tile images so the whole test (3 compiles on the
+    virtual CPU mesh) stays inside the slow-lane budget."""
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.core.mesh import MeshSpec, make_mesh
+    from grasp_any_region_tpu.data.synthetic import synthetic_batch
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.train.optimizer import OptimizerConfig
+    from grasp_any_region_tpu.train.step import (
+        init_sharded_state, make_train_step, shard_batch,
+    )
+
+    CFG = gar_tiny()
+    params = init_gar_params(jax.random.PRNGKey(0), CFG)
+    opt_cfg = OptimizerConfig(lr=1e-3, total_steps=10, accumulation=1)
+    batch, labels, _ = synthetic_batch(CFG, batch=2, grid=(1, 1), regions=1,
+                                       seed=1)
+
+    state1, tx1 = init_sharded_state(params, opt_cfg, mesh=None)
+    step1 = make_train_step(CFG, tx1, mask_compat=False, use_flash=False,
+                            donate=False)
+    new1, m1 = step1(state1, batch, labels)
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=2, tensor=1, seq=1, pipe=2),
+                     devices=jax.devices()[:4])
+    state4, tx4 = init_sharded_state(params, opt_cfg, mesh=mesh)
+    # blocks must be pipe-sharded on their layer dim, not replicated
+    wq_sh = state4.params["llm"]["blocks"]["wq"].sharding
+    assert "pipe" in (wq_sh.spec[0] if isinstance(wq_sh.spec[0], tuple)
+                      else (wq_sh.spec[0],))
+    sbatch, slabels = shard_batch(batch, labels, mesh)
+    step4 = make_train_step(CFG, tx4, mask_compat=False, use_flash=False,
+                            donate=False, mesh=mesh)
+    new4, m4 = step4(state4, sbatch, slabels)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=2e-2)
+    p1 = np.asarray(new1.params["llm"]["blocks"]["wq"])
+    p4 = np.asarray(jax.device_get(new4.params["llm"]["blocks"]["wq"]))
+    np.testing.assert_allclose(p1, p4, rtol=3e-2, atol=2.1e-3)
