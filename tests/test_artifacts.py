@@ -115,3 +115,18 @@ def test_real_sam_checkpoint_masks():
     mask = pred.predict(img, points=[(170, 120)], point_labels=[1])
     assert mask.shape == (256, 384)
     assert 0 < mask.sum() < mask.size  # nontrivial mask
+
+
+@pytest.mark.skipif(gar_ckpt is None, reason="no GAR HF checkpoint")
+def test_parity_harness_runs_on_real_checkpoint():
+    """Drives the one-command parity harness (cli/parity.py, VERDICT r3 #5).
+
+    With a real checkpoint present this must exit 0 (all checks that could
+    run matched) or at worst 2 (no reference assets found) — exit 1 means a
+    reproducibility break against the published caption/transcripts."""
+    from grasp_any_region_tpu.cli.parity import main
+
+    rc = main(["--model-path", gar_ckpt, "--limit", "5",
+               "--max-new-tokens", "64",
+               "--dump-checksums", "/tmp/parity_taps.json"])
+    assert rc in (0, 2), f"parity harness reported mismatches (rc={rc})"
