@@ -207,6 +207,7 @@ def test_question_formats():
 # builder end-to-end into the tiny model
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_builder_to_model_end_to_end(rng):
     cfg = gar_tiny()
     tok = GARTokenizer.synthetic(cfg.prompt_numbers)

@@ -100,6 +100,7 @@ def _hf_logits(model, ids: np.ndarray) -> np.ndarray:
     return out.logits.float().numpy()
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 @pytest.mark.parametrize("tie", [True, False])
 def test_prefill_logits_match_hf(tie):
     cfg = _text_cfg(tie)

@@ -145,6 +145,7 @@ def test_fused_decode_step_matches_reference(rng):
     assert int(c_fused.write_pos) == int(c_ref.write_pos)
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_mega_decode_step_matches_reference(rng):
     """The 3-call megakernel decode step (ops/decode_megakernel: in-kernel
     rms_norm + flat-lane rope, attention+wo+residual accumulation, fused
@@ -188,6 +189,7 @@ def test_mega_decode_step_matches_reference(rng):
     assert int(c_mega.write_pos) == int(c_ref.write_pos)
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_int8_decode_weights_close_to_bf16(rng):
     """Quantized decode step stays close to the fp32 step (interpret mode)."""
     import jax
@@ -306,6 +308,7 @@ def test_flash_attention_df_grads_match_reference(rng):
         FA.flash_attention = orig
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_paired_fused_decode_step_matches_reference(rng):
     """Head-PAIRED cache layout (two kv heads packed into the lane axis,
     seed_cache_from_prefill(paired=True)): multi-step decode must match
@@ -361,6 +364,7 @@ def test_paired_fused_decode_step_matches_reference(rng):
         assert int(cache_p.write_pos) == int(cache_ref.write_pos)
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_int8_kv_paired_decode_tracks_reference(rng):
     """int8 KV cache (seed_cache_from_prefill(quantize_kv=True)): the fused
     paired kernel dequantizes history blocks with the static per-pair scale

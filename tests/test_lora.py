@@ -1,5 +1,6 @@
 """LoRA tests: no-op at init, merge equivalence, lora-only training."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_lora_merge_equivalence(rng):
     np.testing.assert_allclose(_prefill_logits(merged, ids), adapted, rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_lora_only_training_updates_only_adapters(rng):
     from grasp_any_region_tpu.train import OptimizerConfig, init_sharded_state, make_train_step
 

@@ -98,6 +98,7 @@ def test_scatter_replay_valid_and_invalid(rng):
 # llama prefill/decode cache consistency
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_decode_matches_teacher_forcing(rng):
     cfg = CFG.text
     params = init_llama_params(jax.random.PRNGKey(1), cfg, CFG.padded_vocab_size)
@@ -135,6 +136,7 @@ def test_decode_matches_teacher_forcing(rng):
 # end-to-end tiny prefill
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_gar_prefill_end_to_end(rng, params):
     cfg = CFG
     tok = cfg.tokens_per_tile  # 256

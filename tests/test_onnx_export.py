@@ -36,6 +36,7 @@ def _np(x):
     return np.asarray(x, np.float32)
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_torch_decoder_matches_jax(rng):
     cfg = _tiny_cfg()
     params = jax.tree_util.tree_map(

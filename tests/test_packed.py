@@ -105,6 +105,7 @@ def test_pack_truncates_long_docs():
     assert int(np.asarray(packed.segment_ids).sum()) == 16
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_packed_prefill_matches_per_doc(rng):
     """Hidden states of documents packed into one row == each doc alone."""
     from grasp_any_region_tpu.core.config import TextConfig
@@ -154,6 +155,7 @@ def test_packed_loss_runs(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_packed_loss_sequence_parallel_matches(rng):
     """Packed rows (block-diagonal segments) through the Ulysses SP path
     (mesh seq=2, segment ids all-gathered inside the exchange) must produce

@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# engine round trips dominate the 1-core CPU lane (~11 min): slow tier
+pytestmark = pytest.mark.slow
+
 from grasp_any_region_tpu.ops.attention import mha_reference
 from grasp_any_region_tpu.ops.paged_attention import paged_attention_reference
 from grasp_any_region_tpu.serve.paged_cache import (

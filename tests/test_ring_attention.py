@@ -40,6 +40,7 @@ def test_ring_gqa_more_ring_than_kv_heads(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_ring_grad_matches_reference(rng):
     # training is the point of ring attention: check gradients flow through
     # the ppermute rotation correctly

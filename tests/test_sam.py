@@ -37,6 +37,7 @@ def test_window_partition_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+@pytest.mark.slow  # >15 s on the 1-core CPU lane (round-4 fast-lane budget)
 def test_sam_forward_shapes(rng):
     params = init_sam_params(jax.random.PRNGKey(0), TINY)
     pix = jnp.asarray(rng.standard_normal((1, 3, 128, 128)).astype(np.float32))
