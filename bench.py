@@ -125,6 +125,83 @@ def run_long_context(seq: int = 8192, iters: int = 3):
     return seq / dt
 
 
+def run_train(batch_size: int = 1, iters: int = 8):
+    """Training-step throughput: GAR-1B multimodal train step on one chip.
+
+    The reference is primarily a training recipe (32/64-GPU global-batch-64
+    runs at max_length up to 16384, configs/gar_1b.py:32-44); this line is
+    the per-chip unit of that recipe — per-device batch_size=1, everything
+    unfrozen, bf16 (configs/gar_1b.py:31,66-72): full forward (ViT on 17
+    tiles + mask embed + replay + decoder prefill) + backward through the
+    FA-2 flash kernels (ops/flash_attention.py / flash_backward.py) + AdamW
+    update, remat on. B=2 does NOT fit one 16 GB chip next to the bf16
+    params+moments (measured: 16.42 GB, 4.35 GB of it HLO-temp
+    fragmentation) — batch scaling is the data axis's job, as in the
+    reference.
+
+    Reports ms/step, supervised tokens/s, and achieved TF/s from analytic
+    matmul-FLOP accounting (utils/flops.py — counts the remat recompute;
+    XLA's cost_analysis reports scan bodies once and is useless here).
+    """
+    import numpy as np
+    import jax
+
+    from grasp_any_region_tpu.core.config import gar_1b
+    from grasp_any_region_tpu.data.synthetic import synthetic_batch
+    from grasp_any_region_tpu.models import init_gar_params
+    from grasp_any_region_tpu.train import (
+        OptimizerConfig,
+        init_sharded_state,
+        make_train_loop,
+    )
+
+    cfg = gar_1b()
+    # bf16 params + bf16 Adam moments: the single-chip recipe. fp32 master
+    # params + fp32 moments (the reference's ZeRO layout) are 18 GB for
+    # GAR-1B — that mode shards over the fsdp axis on a pod slice
+    # (tests/test_gar8b_aot.py quantifies it); one 16 GB chip trains bf16.
+    import jax.numpy as jnp
+
+    params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    batch, labels, _ = synthetic_batch(
+        cfg, batch=batch_size, grid=(4, 4), regions=1, seed=0
+    )
+    opt_cfg = OptimizerConfig(lr=1e-4, total_steps=100, accumulation=1)
+    state, tx = init_sharded_state(params, opt_cfg, mesh=None)
+    # N steps inside ONE jit (lax.scan): a Python loop of jitted steps gets
+    # replayed per fetch on the axon relay and over-reports ~8x
+    # (docs/PERF_NOTES.md round-2 notes) — the scan is both the honest meter
+    # and the lowest-overhead production inner loop.
+    # donate=True: the returned state re-feeds the next call, so exactly ONE
+    # copy of params+moments is ever resident — two copies (donate=False)
+    # OOM a 16 GB chip next to the S=4662 B=2 activations
+    loop = make_train_loop(cfg, tx, iters, mask_compat=False, donate=True)
+
+    from grasp_any_region_tpu.utils.flops import gar_flops
+
+    s = int(batch.input_ids.shape[1])
+    flops = gar_flops(
+        cfg, batch=batch_size, seq=s, tiles=17 * batch_size, train=True
+    )["total"]
+
+    fn = loop
+    state, losses = fn(state, batch, labels)  # warmup (also validates descent)
+    np.asarray(losses)  # relay executes per FETCH; block_until_ready is a no-op
+    t0 = time.time()
+    _, losses = fn(state, batch, labels)
+    losses = np.asarray(losses)  # single fetch for the whole window
+    loss = float(losses[-1])
+    dt = (time.time() - t0) / iters
+    toks = batch_size * s / dt
+    tf = f", {flops / dt / 1e12:.1f} TF/s" if flops else ""
+    print(
+        f"[bench] train-step B={batch_size} S={s}: {dt*1000:.0f} ms/step -> "
+        f"{toks:.0f} tok/s{tf} (loss {loss:.3f})",
+        file=sys.stderr,
+    )
+    return toks
+
+
 def run_serving(n_requests: int = 8, slots: int = 8,
                 new_tokens: int = DECODE_TOKENS, quantize: bool = False):
     """Informational: continuous-batching engine (paged KV, serve/engine.py).
@@ -150,9 +227,12 @@ def run_serving(n_requests: int = 8, slots: int = 8,
     cfg = gar_1b()
     params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if quantize:
-        from grasp_any_region_tpu.models.quantize import quantize_decode_weights
+        # serving-only mode: int8 decoder weights with NO resident bf16
+        # copies (prefill dequantizes inside the matmul read) — halves the
+        # resident decoder footprint, which is what lets 16 slots fit
+        from grasp_any_region_tpu.models.quantize import serving_weights
 
-        params = quantize_decode_weights(params)
+        params = serving_weights(params)
     reqs = []
     for i in range(2 * n_requests):
         b, _, pl = synthetic_batch(cfg, batch=1, grid=(4, 4), regions=1, seed=i)
@@ -228,12 +308,15 @@ def main():
             print(f"[bench] {label} skipped: {e}", file=sys.stderr)
         gc.collect()
 
+    info("train-step", run_train)  # GAR-1B train step (VERDICT r3 #1)
     info("long-context", run_long_context)  # 8k decoder prefill
     info("serving bf16", run_serving)  # continuous-batching serving mode
-    info("serving int8", run_serving, quantize=True)
-    # (a 16-slot serving config was tried and OOMs deterministically on the
-    # 16 GB chip: 2.7 GB pools + 16-slot dense window + bf16/int8 param
-    # copies; 16-stream scale-out is covered by the static B=16 lines)
+    info("serving int8", run_serving, quantize=True)  # serving-only weights
+    # 16-slot scale-out: possible since round 4's serving-only weight mode
+    # dropped the resident bf16 decoder copy (~1.7 GB freed) — the r3 OOM
+    # was the dual bf16+int8 param residency (PERF_NOTES addendum 8)
+    info("serving int8 16-slot", run_serving, quantize=True,
+         n_requests=16, slots=16)
     best = max(results)
     print(
         json.dumps(

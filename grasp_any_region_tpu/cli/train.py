@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--pipe", type=int, default=1,
                    help="pipeline-parallel stages (decoder layers partition; "
                         "requires --tensor 1 --seq 1)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="param + Adam-moment dtype. bfloat16 is the "
+                        "single-chip recipe (fp32 GAR-1B state is ~17 GB "
+                        "and needs the fsdp axis; docs/GAR8B_MEMORY.md)")
     p.add_argument("--export-hf", default=None, help="export dir after training")
     p.add_argument("--no-save-optimizer", action="store_true")
     args = p.parse_args(argv)
@@ -53,11 +58,21 @@ def main(argv=None):
 
     enable_compilation_cache()
     cfg = load_config(args.config) if args.config else PRESETS[args.preset]()
+    import jax.numpy as jnp
 
+    dtype = jnp.dtype(args.dtype)
     if args.init_from:
         from ..core.weights import load_checkpoint
 
         cfg, params = load_checkpoint(args.init_from)
+        if dtype != jnp.float32:
+            # Adam moments follow param dtype (optax mu_dtype default), so
+            # this one cast selects the whole bf16 single-chip state recipe.
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x,
+                params,
+            )
         tok_file = f"{args.init_from}/tokenizer.json"
         import os
 
@@ -67,7 +82,7 @@ def main(argv=None):
             else GARTokenizer.synthetic(cfg.prompt_numbers)
         )
     else:
-        params = init_gar_params(jax.random.PRNGKey(0), cfg)
+        params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
         tok = GARTokenizer.synthetic(cfg.prompt_numbers)
 
     dataset = GraspAnyRegionDataset(

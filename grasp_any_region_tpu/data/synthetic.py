@@ -17,6 +17,94 @@ from ..models.gar import GARBatch
 from ..train.losses import IGNORE_INDEX
 
 
+def write_synthetic_annotations(
+    path: str,
+    *,
+    n_items: int = 64,
+    image_size: Tuple[int, int] = (448, 336),  # (w, h)
+    seed: int = 0,
+) -> str:
+    """Write a GraspAnyRegionDataset-format annotation JSON of synthetic
+    region-captioning items (base64 PNG images + compressed-RLE masks +
+    human/gpt conversations) — lets `cli/train.py --data` run end-to-end
+    with zero external assets (the reference's Seed-Dataset layout,
+    `/root/reference/projects/grasp_any_region/datasets/dataset.py`).
+
+    Mixes the three item styles the dataset supports: per-region caption
+    lists, multi-region <PromptK> conversations, and whole-image captions.
+    """
+    import base64
+    import io
+    import json
+
+    from PIL import Image
+
+    from .rle import encode_rle
+
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+
+    def b64_image():
+        img = Image.fromarray((rng.random((h, w, 3)) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return "data:base64," + base64.b64encode(buf.getvalue()).decode()
+
+    def rand_masks(n):
+        out = []
+        for _ in range(n):
+            m = np.zeros((h, w), np.uint8)
+            x1, y1 = rng.integers(0, w // 2), rng.integers(0, h // 2)
+            bw, bh = rng.integers(w // 8, w // 2), rng.integers(h // 8, h // 2)
+            m[y1 : min(y1 + bh, h), x1 : min(x1 + bw, w)] = 1
+            out.append(
+                {k: (v.decode() if isinstance(v, bytes) else v)
+                 for k, v in encode_rle(m).items()}
+            )
+        return out
+
+    nouns = ["box", "region", "patch", "area", "object", "shape"]
+    adjs = ["red", "blue", "small", "large", "bright", "dark"]
+
+    def caption():
+        return (f"a {rng.choice(adjs)} {rng.choice(nouns)}. "
+                f"It is {rng.choice(adjs)}.")
+
+    items = []
+    for i in range(n_items):
+        style = i % 3
+        if style == 0:  # single-region captions (one Q/A pair per mask)
+            k = int(rng.integers(1, 3))
+            conv = []
+            for _ in range(k):
+                conv += [{"from": "human", "value": "placeholder"},
+                         {"from": "gpt", "value": caption()}]
+            items.append({"image": b64_image(), "mask_rle": rand_masks(k),
+                          "conversations": conv})
+        elif style == 1:  # multi-region relationship conversation
+            items.append({
+                "image": b64_image(),
+                "mask_rle": rand_masks(2),
+                "conversations": [
+                    {"from": "human",
+                     "value": "Is <Prompt0> above <Prompt1>?"},
+                    {"from": "gpt",
+                     "value": rng.choice(["Yes.", "No."])},
+                ],
+            })
+        else:  # whole-image caption (no masks)
+            items.append({
+                "image": b64_image(),
+                "conversations": [
+                    {"from": "human", "value": "placeholder"},
+                    {"from": "gpt", "value": caption()},
+                ],
+            })
+    with open(path, "w") as f:
+        json.dump(items, f)
+    return path
+
+
 def synthetic_batch(
     cfg: GARConfig,
     *,

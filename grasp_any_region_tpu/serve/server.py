@@ -50,7 +50,8 @@ INDEX_HTML = """<!doctype html>
 <h2>Grasp Any Region — TPU demo</h2>
 <p>Upload an image, hover/click the object (mask preview appears), press
 Describe — the caption streams in below. Shift-click adds refinement
-points. When onnxruntime-web loads, masks decode <b>in the browser</b>
+points; <b>drag to draw a box prompt</b> (reference Stage.tsx parity).
+When onnxruntime-web loads, masks decode <b>in the browser</b>
 against the server's SAM embedding (reference frontend parity); otherwise
 each click round-trips to the server.</p>
 <input type="file" id="file" accept="image/*">
@@ -61,8 +62,10 @@ each click round-trips to the server.</p>
 <canvas id="overlay" style="display:none"></canvas></div>
 <div id="out"></div>
 <script>
-let pts = [], b64 = null, sess = null, emb = null, maskCanvas = null;
+let pts = [], box = null, b64 = null, sess = null, emb = null,
+    maskCanvas = null, dragStart = null, dragging = false;
 const img = document.getElementById('img');
+img.draggable = false;
 const overlay = document.getElementById('overlay');
 const status = document.getElementById('status');
 // ---- client-side ONNX decoding (demo/gradio/frontend parity) ----
@@ -90,21 +93,29 @@ async function fetchEmbedding(){
   else status.textContent = j.error || 'embedding failed';
 }
 let decoding = false;
-async function decodeLocal(ptsList){
+async function decodeLocal(ptsList, boxArg){
   if (decoding) return null;          // drop hover events while busy
   decoding = true;
   try {
     const n = ptsList.length;
     const scale = 1024 / Math.max(img.naturalWidth, img.naturalHeight);
-    const coords = new Float32Array(2 * (n + 1));
-    const labels = new Float32Array(n + 1);
+    // official feed layout (onnxModelAPI.tsx): clicks are label 1, a box
+    // contributes its corners as labels 2 (TL) / 3 (BR), and the -1 pad
+    // point is appended only when there is no box
+    const total = n + (boxArg ? 2 : 1);
+    const coords = new Float32Array(2 * total);
+    const labels = new Float32Array(total);
     ptsList.forEach((p, i) => { coords[2*i] = p[0] * scale;
       coords[2*i+1] = p[1] * scale; labels[i] = 1; });
-    labels[n] = -1;                   // pad point, official feed layout
+    if (boxArg) {
+      coords[2*n] = boxArg[0] * scale; coords[2*n+1] = boxArg[1] * scale;
+      coords[2*n+2] = boxArg[2] * scale; coords[2*n+3] = boxArg[3] * scale;
+      labels[n] = 2; labels[n+1] = 3;
+    } else { labels[n] = -1; }        // pad point
     const out = await sess.run({
       image_embeddings: new ort.Tensor('float32', emb.data, emb.shape),
-      point_coords: new ort.Tensor('float32', coords, [1, n + 1, 2]),
-      point_labels: new ort.Tensor('float32', labels, [1, n + 1]),
+      point_coords: new ort.Tensor('float32', coords, [1, total, 2]),
+      point_labels: new ort.Tensor('float32', labels, [1, total]),
       mask_input: new ort.Tensor('float32', new Float32Array(256*256),
                                  [1, 1, 256, 256]),
       has_mask_input: new ort.Tensor('float32', new Float32Array(1), [1]),
@@ -146,7 +157,8 @@ document.getElementById('file').onchange = e => {
                      fetchEmbedding(); };
   r.readAsDataURL(e.target.files[0]);
 };
-function clearPts(){ pts = []; maskCanvas = null;
+function clearPts(){ pts = []; box = null; dragStart = null;
+                     dragging = false; maskCanvas = null;
                      overlay.style.display = 'none';
                      status.textContent = ''; }
 function imgXY(e){
@@ -154,23 +166,32 @@ function imgXY(e){
   return [(e.clientX - rect.left) * img.naturalWidth / rect.width,
           (e.clientY - rect.top) * img.naturalHeight / rect.height];
 }
-img.onmousemove = async e => {       // hover preview, in-browser only
-  if (!sess || !emb || pts.length) return;
-  const m = await decodeLocal([imgXY(e)]);
-  if (m) paintMask(m);
-};
-img.onclick = async e => {
-  if (!e.shiftKey) pts = [];
-  pts.push(imgXY(e));
+function drawBoxOutline(){
+  if (!box) return;
+  if (overlay.style.display === 'none') {
+    overlay.width = img.naturalWidth; overlay.height = img.naturalHeight;
+    overlay.style.display = 'block';
+    overlay.style.width = img.clientWidth + 'px';
+    overlay.style.height = img.clientHeight + 'px';
+  }
+  const ctx = overlay.getContext('2d');
+  ctx.strokeStyle = '#1e90ff'; ctx.lineWidth = 3;
+  ctx.strokeRect(box[0], box[1], box[2] - box[0], box[3] - box[1]);
+}
+async function refreshMask(){
   if (sess && emb) {
-    const m = await decodeLocal(pts);
-    if (m) status.textContent = 'mask: ' + paintMask(m) + ' px (browser)';
+    const m = await decodeLocal(pts, box);
+    if (m) { status.textContent = 'mask: ' + paintMask(m) + ' px (browser)';
+             drawBoxOutline(); }
     return;
   }
   status.textContent = 'decoding mask...';
+  const req = {image: b64};
+  if (pts.length) req.points = pts;
+  if (box) req.box = box;
   const resp = await fetch('/point_to_mask', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify({image: b64, points: pts})});
+    body: JSON.stringify(req)});
   const j = await resp.json();
   if (j.overlay) {
     const im = new Image();
@@ -178,18 +199,61 @@ img.onclick = async e => {
       overlay.getContext('2d').drawImage(im, 0, 0);
       overlay.style.display = 'block';
       overlay.style.width = img.clientWidth + 'px';
-      overlay.style.height = img.clientHeight + 'px'; };
+      overlay.style.height = img.clientHeight + 'px';
+      drawBoxOutline(); };
     im.src = 'data:image/png;base64,' + j.overlay;
     status.textContent = 'mask: ' + j.area + ' px';
   } else { status.textContent = j.error || 'no mask'; }
+}
+img.onmousedown = e => { dragStart = imgXY(e); dragging = false;
+                         e.preventDefault(); };
+img.onmousemove = async e => {
+  if (dragStart) {                   // drag = box prompt (Stage.tsx parity)
+    const xy = imgXY(e);
+    if (Math.abs(xy[0] - dragStart[0]) + Math.abs(xy[1] - dragStart[1]) > 8)
+      dragging = true;
+    if (dragging) {                  // live rectangle preview
+      if (overlay.style.display === 'none' || !maskCanvas) {
+        overlay.width = img.naturalWidth; overlay.height = img.naturalHeight;
+        overlay.style.display = 'block';
+        overlay.style.width = img.clientWidth + 'px';
+        overlay.style.height = img.clientHeight + 'px';
+      }
+      const ctx = overlay.getContext('2d');
+      ctx.clearRect(0, 0, overlay.width, overlay.height);
+      ctx.strokeStyle = '#1e90ff'; ctx.lineWidth = 3;
+      ctx.strokeRect(Math.min(dragStart[0], xy[0]), Math.min(dragStart[1], xy[1]),
+                     Math.abs(xy[0] - dragStart[0]), Math.abs(xy[1] - dragStart[1]));
+    }
+    return;
+  }
+  if (!sess || !emb || pts.length || box) return;  // hover preview
+  const m = await decodeLocal([imgXY(e)], null);
+  if (m) paintMask(m);
+};
+img.onmouseup = async e => {
+  const xy = imgXY(e);
+  if (dragging) {                    // finish box
+    box = [Math.min(dragStart[0], xy[0]), Math.min(dragStart[1], xy[1]),
+           Math.max(dragStart[0], xy[0]), Math.max(dragStart[1], xy[1])];
+    if (!e.shiftKey) pts = [];       // plain drag replaces the prompt set
+    dragStart = null; dragging = false;
+    await refreshMask();
+    return;
+  }
+  dragStart = null;
+  if (!e.shiftKey) { pts = []; box = null; }
+  pts.push(xy);
+  await refreshMask();
 };
 async function describe(){
-  if (!b64 || !pts.length) { alert('image + at least one point'); return; }
+  if (!b64 || (!pts.length && !box)) {
+    alert('image + a point or box prompt'); return; }
   const out = document.getElementById('out');
   out.textContent = '';
   const req = {image: b64, stream: true};
   if (maskCanvas) req.mask = maskCanvas.toDataURL('image/png').split(',')[1];
-  else req.points = pts;
+  else { if (pts.length) req.points = pts; if (box) req.box = box; }
   const resp = await fetch('/describe', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify(req)});

@@ -59,12 +59,16 @@ def chunked_cross_entropy(
     if valid_vocab is not None and valid_vocab < v:
         vocab_ok = jnp.arange(v) < valid_vocab
 
-    def body(carry, xs):
-        total, count = carry
-        xc, lc = xs  # (B, C, D), (B, C)
+    # checkpointed chunk: under grad, a bare scan body saves each chunk's
+    # (B, C, V) fp32 logits as residuals and XLA stacks them into ONE
+    # n_chunks-deep buffer (4.9 GB at S=4.7k/V=128k — the whole point of
+    # chunking, defeated). Remat recomputes the head matmul per chunk in
+    # the backward; residuals shrink to the (B, C, D) chunk inputs.
+    @jax.checkpoint
+    def chunk_nll(head_, xc, lc):
         eq = "bcd,vd->bcv" if tied else "bcd,dv->bcv"
         logits = jnp.einsum(
-            eq, xc, head.astype(xc.dtype),
+            eq, xc, head_.astype(xc.dtype),
             preferred_element_type=jnp.float32,
         )
         if vocab_ok is not None:
@@ -74,7 +78,13 @@ def chunked_cross_entropy(
         safe = jnp.where(mask, lc, 0)
         gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
         nll = jnp.where(mask, logz - gold, 0.0)
-        return (total + nll.sum(), count + mask.sum()), None
+        return nll.sum(), mask.sum()
+
+    def body(carry, xs):
+        total, count = carry
+        xc, lc = xs  # (B, C, D), (B, C)
+        nll, n = chunk_nll(head, xc, lc)
+        return (total + nll, count + n), None
 
     (total, count), _ = jax.lax.scan(
         body, (jnp.float32(0.0), jnp.int32(0)), (x, labels)

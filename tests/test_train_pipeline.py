@@ -254,3 +254,37 @@ def test_native_rle_parity(rng):
         np.testing.assert_array_equal(
             encode_runs_native(m), np.asarray(_decode_counts(rle["counts"]))
         )
+
+
+def test_cli_train_synthetic_e2e(tmp_path):
+    """The full CLI surface on zero external assets: synthetic annotation
+    JSON -> cli.train.main (bf16 params, 2 steps) -> orbax checkpoint +
+    HF export dir. Mirrors the on-chip e2e recipe (docs/PERF_NOTES.md
+    round-4 train addendum) at gar_tiny scale."""
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.cli.train import main as train_main
+    from grasp_any_region_tpu.data.synthetic import write_synthetic_annotations
+
+    ann = write_synthetic_annotations(
+        str(tmp_path / "ann.json"), n_items=6, image_size=(96, 80), seed=3
+    )
+    work = tmp_path / "run"
+    export = tmp_path / "hf"
+    train_main([
+        "--preset", "gar_tiny", "--data", ann,
+        "--work-dir", str(work), "--max-steps", "2",
+        "--batch-size", "1", "--accumulation", "1", "--fsdp", "1",
+        "--dtype", "bfloat16", "--export-hf", str(export),
+    ])
+    # orbax checkpoint written
+    assert any(work.iterdir()), "work dir empty — no checkpoint saved"
+    # HF export exists and carries bf16 tensors with reference names
+    import safetensors.numpy as st
+
+    files = list(export.glob("*.safetensors"))
+    assert files, f"no safetensors in {export}"
+    sd = {}
+    for f in files:
+        sd.update(st.load_file(str(f)))
+    assert any(k.startswith("mllm.") for k in sd), sorted(sd)[:5]

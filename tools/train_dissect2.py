@@ -1,0 +1,65 @@
+"""Bisect the 950 ms param-update overhead: carry only a subtree of params
+through the scan (the rest captured constant) and SGD-update just it.
+Run: python -c "exec(open('tools/train_dissect2.py').read())"
+"""
+import time, sys
+import numpy as np
+import jax, jax.numpy as jnp
+from grasp_any_region_tpu.core.config import gar_1b
+from grasp_any_region_tpu.data.synthetic import synthetic_batch
+from grasp_any_region_tpu.models import init_gar_params
+from grasp_any_region_tpu.train.step import loss_fn
+
+ITERS = 8
+cfg = gar_1b()
+params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+batch, labels, _ = synthetic_batch(cfg, batch=1, grid=(4, 4), regions=1, seed=0)
+
+
+def probe(name, paths):
+    """paths: list of (top, sub) keys to carry+update; sub=None -> whole top."""
+    def split(p):
+        carry, rest = {}, jax.tree_util.tree_map(lambda x: x, p)
+        for top, sub in paths:
+            if sub is None:
+                carry[top] = rest.pop(top)
+            else:
+                carry.setdefault(top, {})[sub] = rest[top].pop(sub)
+        return carry, rest
+
+    carry0, rest = split(params)
+
+    def merge(carry, rest):
+        out = dict(rest)
+        for top, v in carry.items():
+            if isinstance(v, dict) and top in rest:
+                out[top] = {**rest[top], **v}
+            else:
+                out[top] = v
+        return out
+
+    @jax.jit
+    def loop(carry, rest, b, l):
+        def body(c, _):
+            loss, g = jax.value_and_grad(
+                lambda cc: loss_fn(merge(cc, rest), cfg, b, l,
+                                   mask_compat=False))(c)
+            c = jax.tree_util.tree_map(
+                lambda w, d: w - (1e-8 * d).astype(w.dtype), c, g)
+            return c, loss
+        c, losses = jax.lax.scan(body, carry, None, length=ITERS)
+        return losses
+
+    out = loop(carry0, rest, batch, labels)
+    np.asarray(out)[:1]
+    t0 = time.time()
+    out = loop(carry0, rest, batch, labels)
+    np.asarray(out)[:1]
+    print(f"[dissect2] update {name}: {(time.time()-t0)/ITERS*1000:.0f} ms/iter",
+          file=sys.stderr)
+
+
+probe("llm only", [("llm", None)])
+probe("vision only", [("vision", None)])
+probe("embed only", [("llm", "embed")])
+probe("llm blocks only", [("llm", "blocks")])
