@@ -28,9 +28,20 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--random-init", action="store_true",
                    help="allow random weights (smoke tests)")
+    p.add_argument("--speculative", default=None, metavar="GAMMA,K",
+                   help="single-image greedy decode via self-speculative "
+                        "draft/verify: GAMMA drafts from the first K "
+                        "decoder layers per verify step (identical tokens; "
+                        "models/speculative.py)")
     args = p.parse_args(argv)
     if len(args.image) != len(args.mask):
         p.error(f"--image given {len(args.image)} times but --mask {len(args.mask)}")
+    spec = None
+    if args.speculative:
+        gamma, k = (int(x) for x in args.speculative.split(","))
+        spec = (gamma, k)
+        if len(args.image) != 1 or args.temperature != 0.0:
+            p.error("--speculative needs exactly one image and temperature 0")
 
     rt = GARRuntime.load(args.model_path, args.preset, args.random_init)
     samples = [
@@ -42,7 +53,8 @@ def main(argv=None):
         for img, msk in zip(args.image, args.mask)
     ]
     for img, text in zip(args.image, rt.caption(
-        samples, max_new_tokens=args.max_new_tokens, temperature=args.temperature
+        samples, max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature, speculative=spec,
     )):
         print(f"=== {img} ===")
         print(text)

@@ -76,18 +76,36 @@ class GARRuntime:
         *,
         max_new_tokens: int = 1024,
         temperature: float = 0.0,
+        speculative: Optional[tuple] = None,  # (gamma, draft_layers)
     ) -> List[str]:
-        """Run the full pipeline; returns decoded text per sample."""
-        from ..models.generate import generate
+        """Run the full pipeline; returns decoded text per sample.
 
+        speculative: single-sample greedy decode via self-speculative
+        draft/verify (models/speculative.py) — identical tokens, fewer
+        weight streams per token when the shallow draft is predictive."""
         batch, plens = build_region_batch(self.cfg, self.tok, self.proc, samples)
         t0 = time.time()
-        out = generate(
-            self.params, self.cfg, batch, plens,
-            max_new_tokens=max_new_tokens,
-            eot_id=self.tok.eot_id,
-            temperature=temperature,
-        )
+        if speculative is not None:
+            from ..models.speculative import generate_speculative
+
+            assert len(samples) == 1 and temperature == 0.0, (
+                "speculative decode is single-stream greedy"
+            )
+            gamma, k = speculative
+            out = generate_speculative(
+                self.params, self.cfg, batch, plens,
+                max_new_tokens=max_new_tokens, gamma=gamma, draft_layers=k,
+                eot_id=self.tok.eot_id,
+            )
+        else:
+            from ..models.generate import generate
+
+            out = generate(
+                self.params, self.cfg, batch, plens,
+                max_new_tokens=max_new_tokens,
+                eot_id=self.tok.eot_id,
+                temperature=temperature,
+            )
         toks = np.asarray(out.tokens)
         nums = np.asarray(out.num_generated)
         dt = time.time() - t0

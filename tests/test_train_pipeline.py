@@ -288,3 +288,30 @@ def test_cli_train_synthetic_e2e(tmp_path):
     for f in files:
         sd.update(st.load_file(str(f)))
     assert any(k.startswith("mllm.") for k in sd), sorted(sd)[:5]
+
+
+def test_analytic_flops_sanity():
+    """utils/flops.py is the MFU numerator for bench.py's train line —
+    check scaling properties and the decoder/head split against hand
+    counts (gar_1b: 16 L x d2048/f8192 decoder, 128512-row tied head)."""
+    from grasp_any_region_tpu.core.config import gar_1b
+    from grasp_any_region_tpu.utils.flops import gar_flops
+
+    cfg = gar_1b()
+    f1 = gar_flops(cfg, batch=1, seq=4096, tiles=17, train=True)
+    # train = 4x fwd (bwd 2x + remat recompute 1x)
+    assert f1["total"] == 4.0 * f1["fwd"]
+    # hand count: decoder projection flops at S=4096
+    per_layer = 2048 * 2048 + 2 * 2048 * 512 + 2048 * 2048 + 3 * 2048 * 8192
+    dec_proj = 2.0 * per_layer * 16 * 4096
+    assert f1["decoder"] > dec_proj  # + attention term
+    assert f1["decoder"] < dec_proj * 1.25
+    head = 2.0 * 2048 * cfg.padded_vocab_size * 4096
+    assert f1["lm_head"] == head
+    # decoder+head scale with seq; vision does not
+    f2 = gar_flops(cfg, batch=1, seq=8192, tiles=17, train=True)
+    assert f2["vision"] == f1["vision"]
+    assert f2["lm_head"] == 2 * f1["lm_head"]
+    # batch doubles tiles-held-constant: decoder doubles
+    f3 = gar_flops(cfg, batch=2, seq=4096, tiles=17, train=True)
+    assert f3["decoder"] == 2 * f1["decoder"]
