@@ -45,6 +45,8 @@ def main(argv=None):
                         "and needs the fsdp axis; docs/GAR8B_MEMORY.md)")
     p.add_argument("--export-hf", default=None, help="export dir after training")
     p.add_argument("--no-save-optimizer", action="store_true")
+    p.add_argument("--log-interval", type=int, default=100,
+                   help="steps between loss logs (reference LoggerHook=100)")
     args = p.parse_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -111,6 +113,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         mesh=mesh if mesh.size > 1 else None,
         save_optimizer=not args.no_save_optimizer,
+        log_interval=args.log_interval,
     )
     trainer = Trainer(cfg, params, dataset, opt_cfg, tcfg)
     state = trainer.train()

@@ -67,16 +67,147 @@ def _vit_attn_fwd(q, k, v):
 
 
 def _vit_attn_bwd(res, g):
-    from .flash_backward import flash_attention_bwd
-
     q, k, v, out, lse = res
-    return flash_attention_bwd(
-        q, k, v, out, lse, g, causal=False,
+    return vit_attention_bwd_onepass(
+        q, k, v, out, lse, g,
         interpret=jax.default_backend() != "tpu",
     )
 
 
 vit_attention_df.defvjp(_vit_attn_fwd, _vit_attn_bwd)
+
+
+def _vit_bwd_kernel(q_ref, do_ref, k_ref, v_ref, lse_ref, delta_ref,
+                    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                    scale: float, kv_valid: int, s_pad: int,
+                    block_q: int, num_q: int):
+    """One-pass backward for one (tile, head): K/V stay VMEM-resident, the
+    probability block is computed ONCE and feeds dv, ds, dq and dk — vs the
+    generic FA-2 pair (ops/flash_backward.py) which recomputes p in both
+    its dq and dk/dv kernels and streams K in 128-row blocks (poor MXU
+    shapes at Dh=64 and lots of grid overhead at S~1k). Measured train-path
+    motivation: docs/PERF_NOTES.md round-4 addendum 2 (ViT bwd at 57 TF/s
+    was the widest-from-ceiling span of the train step)."""
+    qi = pl.program_id(1)
+    q_start = qi * block_q
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[:]          # (BQ, D) input dtype
+    do = do_ref[:]
+    k = k_ref[:]          # (S, D)
+    v = v_ref[:]
+    lse = lse_ref[0, :].reshape(block_q, 1)
+    delta = delta_ref[0, :].reshape(block_q, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, S) f32
+    if kv_valid < s_pad:
+        ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(ids < kv_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, S); pad query rows are finite (zeroed dO)
+    p_lo = p.astype(q.dtype)
+    dv_acc[:] += jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, S)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq_ref[:] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(dq_ref.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, D)
+
+    @pl.when(qi == num_q - 1)
+    def _():
+        dk_ref[:] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def vit_attention_bwd_onepass(
+    q: jnp.ndarray,    # (T, S, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    out: jnp.ndarray,  # (T, S, H, D) forward output
+    lse: jnp.ndarray,  # (T, H, S) forward row logsumexp
+    g: jnp.ndarray,    # (T, S, H, D) cotangent
+    *,
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    interpret: bool = False,
+):
+    """dq/dk/dv for the fused ViT attention. block_q defaults to the whole
+    padded row range (one program per tile-head; two (S,S) f32 blocks +
+    operands ≈ 12 MB VMEM at S=1025) — pass a divisor of S_pad to shrink
+    VMEM if a bigger ViT config overflows the scoped limit."""
+    t, s, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    pad = (-s) % 128
+    if pad:
+        cfgpad = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v, out, g = (jnp.pad(x, cfgpad) for x in (q, k, v, out, g))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)))
+    s_pad = s + pad
+    if block_q is None:
+        block_q = s_pad
+    assert s_pad % block_q == 0
+    num_q = s_pad // block_q
+
+    def heads(x):
+        return x.transpose(0, 2, 1, 3).reshape(t * h, s_pad, d)
+
+    qh, kh, vh, doh = heads(q), heads(k), heads(v), heads(g)
+    # delta = rowsum(dO * O) — cheap elementwise, precomputed in XLA like
+    # the generic backward
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1).reshape(t * h, 1, s_pad)
+    lse_r = lse.reshape(t * h, 1, s_pad)
+
+    kernel = functools.partial(
+        _vit_bwd_kernel, scale=scale, kv_valid=s, s_pad=s_pad,
+        block_q=block_q, num_q=num_q,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(t * h, num_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, qi: (i, qi, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, qi: (i, qi, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda i, qi: (i, 0, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda i, qi: (i, 0, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda i, qi: (i, 0, qi)),
+            pl.BlockSpec((None, 1, block_q), lambda i, qi: (i, 0, qi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, qi: (i, qi, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda i, qi: (i, 0, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda i, qi: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t * h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((t * h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((t * h, s_pad, d), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, d), jnp.float32),
+            pltpu.VMEM((s_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, doh, kh, vh, lse_r, delta)
+
+    def unheads(x):
+        return x.reshape(t, h, s_pad, d).transpose(0, 2, 1, 3)[:, :s]
+
+    return unheads(dq), unheads(dk), unheads(dv)
 
 
 def _fused_qkv_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,

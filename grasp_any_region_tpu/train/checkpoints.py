@@ -41,12 +41,18 @@ class CheckpointManager:
             ),
         )
 
-    def maybe_save(self, step: int, state) -> bool:
+    def maybe_save(self, step: int, state, force: bool = False) -> bool:
         ocp = _ocp()
+        if force and step in self.mgr.all_steps():
+            return False  # the cadence already saved this exact step
+        if not force and not self.mgr.should_save(step):
+            return False  # skip building the payload off-cadence
         payload = state._asdict() if hasattr(state, "_asdict") else dict(state)
         if not self.save_optimizer:
             payload = {k: v for k, v in payload.items() if k != "opt_state"}
-        return self.mgr.save(step, args=ocp.args.StandardSave(payload))
+        return self.mgr.save(
+            step, args=ocp.args.StandardSave(payload), force=force
+        )
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()

@@ -167,7 +167,11 @@ class Trainer:
 
             it_times.append(time.time() - t_last)
             t_last = time.time()
-            if (step + 1) % t.log_interval == 0 or step == start_step:
+            if (
+                (step + 1) % t.log_interval == 0
+                or step == start_step
+                or step + 1 == max_steps
+            ):
                 loss = float(metrics["loss"])
                 gnorm = float(metrics["grad_norm"])
                 print(
@@ -176,5 +180,7 @@ class Trainer:
                     f"iter {np.mean(it_times[-t.log_interval:]):.2f}s"
                 )
             self.ckpt.maybe_save(step + 1, self.state)
+        # final state always hits disk (resume/export), whatever the cadence
+        self.ckpt.maybe_save(max_steps, self.state, force=True)
         self.ckpt.wait()
         return self.state

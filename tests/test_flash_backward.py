@@ -116,3 +116,41 @@ def test_lse_matches_reference(rng):
     lse_ref = jax.scipy.special.logsumexp(logits, axis=-1)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("block_q", [None, 64])
+def test_vit_onepass_backward_parity(block_q):
+    """The single-program ViT backward (ops/vit_attention.py
+    vit_attention_bwd_onepass) vs differentiating the XLA reference —
+    non-causal, unpadded-S + a 128-pad case, whole-row and blocked q."""
+    from grasp_any_region_tpu.ops.vit_attention import (
+        vit_attention, vit_attention_bwd_onepass,
+    )
+
+    rng = np.random.default_rng(11)
+    t, s, h, d = 2, 160, 3, 32  # s not a 128 multiple: exercises padding
+    q = jnp.asarray(rng.normal(size=(t, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(t, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(t, s, h, d)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(t, s, h, d)), jnp.float32)
+
+    def ref_attn(q, k, v):
+        s_ = jnp.einsum("tihd,tjhd->thij", q, k) * (d ** -0.5)
+        p = jax.nn.softmax(s_, axis=-1)
+        return jnp.einsum("thij,tjhd->tihd", p, v)
+
+    ref, vjp = jax.vjp(ref_attn, q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+
+    out, lse = vit_attention(q, k, v, return_lse=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    dq, dk, dv = vit_attention_bwd_onepass(
+        q, k, v, out, lse, g, block_q=block_q, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
+                               rtol=2e-4, atol=2e-4)
