@@ -202,6 +202,99 @@ def run_train(batch_size: int = 1, iters: int = 8):
     return toks
 
 
+def run_gar8b_decode(new_tokens: int = 64, s_ctx: int = 2048):
+    """GAR-8B decoder decode on ONE 16 GB chip via int8-native weights.
+
+    docs/GAR8B_MEMORY.md: the 8B bf16 decoder (~16 GB) needs TP over a
+    slice, but int8 weights (~8.6 GiB incl. bf16 embed + int8 head) fit a
+    single v5e — the single-chip serving floor for the big model. Weights
+    are initialized DIRECTLY as int8 on device (a bf16 intermediate would
+    OOM before quantizing); values are random — decode is weight-bandwidth
+    bound, so tok/s is layout-, not value-, dependent. The step runs the
+    plain-XLA sliced path (_proj reads *_q8; the fused kernels' per-layer
+    qkv exceeds scoped VMEM at hidden 4096, llama.decode_kernel_choice).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_8b
+    from grasp_any_region_tpu.models.llama import (
+        KVCache, embed_tokens, llama_decode_step, lm_logits,
+    )
+
+    cfg = gar_8b()
+    t = cfg.text
+    L, d, f = t.num_layers, t.hidden_size, t.intermediate_size
+    h, k, dh = t.num_heads, t.num_kv_heads, t.head_dim
+    v_rows = cfg.padded_vocab_size
+    key = jax.random.PRNGKey(0)
+
+    def q8(key, shape):
+        return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+    def sc(shape):
+        return jnp.full(shape, 0.02 / 127.0, jnp.float32)
+
+    keys = jax.random.split(key, 16)
+    mats = {"wq": (d, h * dh), "wk": (d, k * dh), "wv": (d, k * dh),
+            "wo": (h * dh, d), "w_gate": (d, f), "w_up": (d, f),
+            "w_down": (f, d)}
+    blocks = {"attn_norm": jnp.ones((L, d), jnp.bfloat16),
+              "mlp_norm": jnp.ones((L, d), jnp.bfloat16)}
+    for i, (name, shape) in enumerate(mats.items()):
+        blocks[f"{name}_q8"] = q8(keys[i], (L,) + shape)
+        blocks[f"{name}_scale"] = sc((L, 1, shape[1]))
+    llm = {
+        "embed": (jax.random.normal(keys[8], (v_rows, d), jnp.bfloat16) * 0.02),
+        "blocks": blocks,
+        "final_norm": jnp.ones((d,), jnp.bfloat16),
+        "lm_head_q8": q8(keys[9], (d, v_rows)),
+        "lm_head_scale": sc((1, v_rows)),
+    }
+
+    max_len = ((s_ctx + new_tokens + 511) // 512) * 512
+    cache = KVCache(
+        k=jax.random.normal(keys[10], (L, 1, k, max_len, dh), jnp.bfloat16),
+        v=jax.random.normal(keys[11], (L, 1, k, max_len, dh), jnp.bfloat16),
+        prompt_lens=jnp.asarray([s_ctx], jnp.int32),
+        write_pos=jnp.asarray(s_ctx, jnp.int32),
+    )
+
+    @jax.jit
+    def decode(llm, cache, tok0):
+        def body(carry):
+            tok, cache, i = carry
+            emb = embed_tokens(llm, tok[:, None])
+            hidden, cache = llama_decode_step(
+                llm, t, emb, cache, s_ctx, use_kernel=False
+            )
+            logits = lm_logits(llm, t, hidden[:, 0],
+                               valid_vocab=cfg.extended_vocab_size)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return nxt, cache, i + 1
+
+        def cond(carry):
+            return carry[2] < new_tokens
+
+        tok, cache, _ = jax.lax.while_loop(
+            cond, body, (tok0, cache, jnp.asarray(0, jnp.int32))
+        )
+        return tok
+
+    tok0 = jnp.asarray([17], jnp.int32)
+    np.asarray(decode(llm, cache, tok0))  # warmup fetch (relay executes lazily)
+    t0 = time.time()
+    np.asarray(decode(llm, cache, tok0))
+    dt = time.time() - t0
+    print(
+        f"[bench] GAR-8B int8 decode 1 chip (S_ctx={s_ctx}): "
+        f"{dt/new_tokens*1000:.1f} ms/tok -> {new_tokens/dt:.1f} tok/s",
+        file=sys.stderr,
+    )
+    return new_tokens / dt
+
+
 def run_serving(n_requests: int = 8, slots: int = 8,
                 new_tokens: int = DECODE_TOKENS, quantize: bool = False):
     """Informational: continuous-batching engine (paged KV, serve/engine.py).
@@ -309,6 +402,7 @@ def main():
         gc.collect()
 
     info("train-step", run_train)  # GAR-1B train step (VERDICT r3 #1)
+    info("gar8b-decode", run_gar8b_decode)  # 8B int8 decoder on one chip
     info("long-context", run_long_context)  # 8k decoder prefill
     info("serving bf16", run_serving)  # continuous-batching serving mode
     info("serving int8", run_serving, quantize=True)  # serving-only weights
