@@ -38,7 +38,13 @@ def main(argv=None):
         p.error(f"--image given {len(args.image)} times but --mask {len(args.mask)}")
     spec = None
     if args.speculative:
-        gamma, k = (int(x) for x in args.speculative.split(","))
+        try:
+            gamma, k = (int(x) for x in args.speculative.split(","))
+        except ValueError:
+            p.error(f"--speculative expects GAMMA,K integers, got "
+                    f"{args.speculative!r}")
+        if gamma < 1 or k < 1:
+            p.error("--speculative GAMMA and K must be >= 1")
         spec = (gamma, k)
         if len(args.image) != 1 or args.temperature != 0.0:
             p.error("--speculative needs exactly one image and temperature 0")

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..core.config import TextConfig
 from ..ops.attention import NEG_INF, decode_attention_reference, mha
 from ..ops.norms import rms_norm
+from ..core.platform import is_tpu
 from ..ops.rope import apply_rope, llama_inv_freq, rope_cos_sin
 
 
@@ -267,7 +268,7 @@ def decode_kernel_choice(cfg: TextConfig) -> Union[bool, str]:
     GAR_DECODE_PATH overrides for A/B benching."""
     d = cfg.hidden_size
     qkv_bytes = 2 * d * (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
-    if jax.default_backend() == "tpu" and qkv_bytes <= 13 * 2 ** 20:
+    if is_tpu() and qkv_bytes <= 13 * 2 ** 20:
         return os.environ.get("GAR_DECODE_PATH", "fused")
     return False
 
@@ -394,7 +395,7 @@ def llama_decode_step_fused(
     )
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"  # pallas interpret on CPU
+        interpret = not is_tpu()  # pallas interpret on CPU
     blocks_probe = params["blocks"]
     q8 = "wq_q8" in blocks_probe  # int8 decode weights present (models/quantize.py)
     kv_q8 = cache.k.dtype == jnp.int8  # int8 KV cache (seed_cache_from_prefill)
@@ -480,7 +481,7 @@ def llama_decode_step_mega(
     )
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not is_tpu()
     blocks = params["blocks"]
     q8 = "wq_q8" in blocks  # int8 decode weights present (models/quantize.py)
     b = inputs_embeds.shape[0]
@@ -641,7 +642,7 @@ def llama_decode_step_paged_fused(
     from ..ops.paged_attention import paged_attention_reference
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not is_tpu()
     blocks = params["blocks"]
     q8 = "wq_q8" in blocks  # int8 decode weights present (models/quantize.py)
     b = inputs_embeds.shape[0]

@@ -45,8 +45,10 @@ from .llama import _mlp, _proj, _qkv, embed_tokens, lm_logits
 
 class SpecStats(NamedTuple):
     rounds: jnp.ndarray          # () rounds executed
-    drafted: jnp.ndarray         # () draft tokens proposed
-    accepted: jnp.ndarray        # () draft tokens accepted
+    drafted: jnp.ndarray         # () draft tokens proposed (gamma per round)
+    accepted: jnp.ndarray        # () draft tokens accepted AND committed —
+    #   eot-truncated rounds count only the drafts emitted before the eot,
+    #   so accepted/drafted is the realized (speedup-relevant) accept rate
 
 
 class SpecResult(NamedTuple):
@@ -277,7 +279,9 @@ def generate_speculative(
         return State(
             k=k2, v=v2, wp=st.wp + m, cur=new_cur, out=out,
             step=st.step + m, done=st.done | hit_eot,
-            rounds=st.rounds + 1, accepted=st.accepted + n_acc,
+            # m - 1 = drafts actually committed (== n_acc unless the round
+            # was eot-truncated, in which case only m - 1 of them shipped)
+            rounds=st.rounds + 1, accepted=st.accepted + m - 1,
         )
 
     fin = jax.lax.while_loop(cond, round_body, init)

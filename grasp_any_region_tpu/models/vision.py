@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import VisionConfig
+from ..core.platform import is_tpu
 from ..ops.attention import mha
 from ..ops.norms import layer_norm
 from ..ops.vit_attention import vit_attention, vit_attention_df
@@ -117,7 +118,7 @@ def _block(cfg: VisionConfig, x: jnp.ndarray, bp: dict, angles: Optional[jnp.nda
         q = apply_rope_2d_tshd(q, angles, n_prefix)
         k = apply_rope_2d_tshd(k, angles, n_prefix)
     multi = mesh is not None and mesh.size > 1
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = is_tpu()
     if use_flash is not False and on_tpu and s <= 2048 and not multi:
         # fused single-pass kernel: whole (S, S) logits block lives in VMEM
         # (custom_vjp wrapper — training differentiates through this path)
@@ -228,7 +229,7 @@ def vision_forward(
             not remat
             and not multi  # fused kernels have no shard_map wrapper yet;
                            # multi-device uses mha's sharded flash path
-            and jax.default_backend() == "tpu"
+            and is_tpu()
             and cfg.head_dim == 64
             and cfg.num_heads % 2 == 0
             and cfg.use_rope
@@ -246,7 +247,7 @@ def vision_forward(
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         s_pad = s_true + pad
-        interp = jax.default_backend() != "tpu"
+        interp = not is_tpu()
 
         def body(carry, layer):
             bp, ang = layer

@@ -87,6 +87,12 @@ def mha_reference(
     return out.astype(q.dtype)
 
 
+def _compile_target() -> str:
+    from ..core.platform import compile_target
+
+    return compile_target()
+
+
 def _flash_sharded(q, k, v, causal, segment_ids, scale, mesh):
     """Run the flash kernel per-shard under `mesh` via shard_map.
 
@@ -190,7 +196,7 @@ def mha(
     multi = mesh is not None and mesh.size > 1
     if use_flash is None:
         platform = (
-            mesh.devices.flat[0].platform if multi else jax.default_backend()
+            mesh.devices.flat[0].platform if multi else _compile_target()
         )
         use_flash = platform == "tpu" and sq >= 1024 and flash_safe
     if use_flash and flash_safe:

@@ -33,6 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -2.0 ** 30
 
 
+def _is_tpu_target() -> bool:
+    from ..core.platform import is_tpu
+
+    return is_tpu()
+
+
 def _flash_kernel(
     q_ref,  # (BQ, D)
     k_ref,  # (Sk, D)
@@ -159,7 +165,7 @@ def flash_attention(
     if interpret is None:
         # auto: Mosaic on TPU, interpreter elsewhere — lets mha(use_flash=True)
         # (and its shard_map wrapper) run unchanged on the CPU test mesh
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _is_tpu_target()
     if segment_ids is not None:
         assert sq == sk, "segment_ids requires self-attention (Sq == Sk)"
         assert segment_ids.shape == (b, sq), segment_ids.shape
@@ -290,7 +296,7 @@ def _flash_df_bwd(causal, scale, res, g):
         dq, dk, dv = flash_attention_bwd(
             q, k, v, out, lse, g,
             causal=causal, segment_ids=segment_ids, scale=scale,
-            interpret=jax.default_backend() != "tpu",
+            interpret=not _is_tpu_target(),
         )
         return dq, dk, dv, None
 

@@ -22,6 +22,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -2.0 ** 30
 
 
+def _is_tpu_target() -> bool:
+    from ..core.platform import is_tpu
+
+    return is_tpu()
+
+
 def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *lse_ref,
                      scale: float, kv_valid: int, s_pad: int):
     # operands stay in the input dtype: the MXU consumes bf16 natively with
@@ -70,7 +76,7 @@ def _vit_attn_bwd(res, g):
     q, k, v, out, lse = res
     return vit_attention_bwd_onepass(
         q, k, v, out, lse, g,
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _is_tpu_target(),
     )
 
 

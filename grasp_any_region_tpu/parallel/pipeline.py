@@ -116,7 +116,8 @@ def pipeline_prefill(
         raise ValueError(f"batch {B} must divide into n_micro={n_micro}")
     if cfg.num_layers % n_stages != 0:
         raise ValueError(
-            f"num_layers {cfg.num_layers} must divide pipe axis {n_stages}"
+            f"pipe axis {n_stages} must evenly divide num_layers "
+            f"{cfg.num_layers}"
         )
     M, mb = n_micro, B // n_micro
     if dp > 1 and mb % dp != 0:

@@ -207,6 +207,12 @@ async function refreshMask(){
 }
 img.onmousedown = e => { dragStart = imgXY(e); dragging = false;
                          e.preventDefault(); };
+window.addEventListener('mouseup', e => {
+  // releasing outside the image cancels the drag (img.onmouseup never
+  // fires there; without this, later motion is misread as an in-progress
+  // drag and draws a ghost rubber-band)
+  if (dragStart && e.target !== img) { dragStart = null; dragging = false; }
+});
 img.onmousemove = async e => {
   if (dragStart) {                   // drag = box prompt (Stage.tsx parity)
     const xy = imgXY(e);

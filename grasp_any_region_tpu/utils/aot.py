@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import GARConfig
+from ..core.platform import force_compile_target
 from ..parallel.sharding import batch_pspecs, param_shardings, sanitize_spec
 
 V5E_HBM_BYTES = 16 * 1024**3  # 16 GiB per v5e chip
@@ -144,7 +145,7 @@ def lower_prefill(cfg: GARConfig, mesh: Mesh, *, batch: int = 1, grid=(2, 2)):
         return lm_logits(params["llm"], cfg.text, last,
                          valid_vocab=cfg.extended_vocab_size)
 
-    with mesh:
+    with mesh, force_compile_target(mesh.devices.flat[0].platform):
         return jax.jit(fn).lower(pshard, sb, pl).compile()
 
 
@@ -183,7 +184,7 @@ def lower_decode_step(cfg: GARConfig, mesh: Mesh, *, slots: int = 8,
         return llama_decode_step(llm, t, e, c, prompt_pad=s_max // 2,
                                  use_kernel=False)
 
-    with mesh:
+    with mesh, force_compile_target(mesh.devices.flat[0].platform):
         return (
             jax.jit(fn, donate_argnums=(2,))
             .lower(pshard["llm"], embeds, cache)
@@ -214,5 +215,5 @@ def lower_train_step(cfg: GARConfig, mesh: Mesh, *, batch: int, grid=(2, 2),
     sb, ls, _ = _shaped_batch(cfg, mesh, batch, grid)
     step = make_train_step(cfg, tx, mask_compat=False, use_flash=None,
                            donate=True, mesh=mesh)
-    with mesh:
+    with mesh, force_compile_target(mesh.devices.flat[0].platform):
         return step.lower(state_shaped, sb, ls).compile()
