@@ -724,7 +724,9 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16,
         # scale). quantize_decode_weights only drops 'embed' in the tied
         # case, where lm_head_q8 has exactly this orientation.
         q8 = params["lm_head_q8"]
-        assert q8.shape[0] == params["lm_head_scale"].shape[0], (
+        # tied layout <=> per-vocab-row scales (V, 1); the untied (1, V)
+        # scale shape can never satisfy this (see lm_logits layout note)
+        assert params["lm_head_scale"].shape[-1] == 1, (
             "embed fallback needs the tied (V, D) head layout"
         )
         rows = q8[input_ids].astype(dtype)
@@ -761,7 +763,13 @@ def lm_logits(
         # scales are constant along the contraction, applied to the f32
         # logits after the dot.
         scale = params["lm_head_scale"]
-        if q8.shape[0] != x.shape[-1]:  # tied-embed layout (V, D)
+        # Layout resolution via the SCALE's shape, not the weight's: the
+        # tied layout quantizes (V, D) along D -> scale (V, 1); the untied
+        # layout quantizes (D, V) along D -> scale (1, V). Inferring from
+        # q8.shape[0] != hidden would silently mispick when padded vocab ==
+        # hidden size; the scale shapes can never collide (V >= 256 > 1).
+        tied_layout = scale.shape[-1] == 1
+        if tied_layout:  # tied-embed layout (V, D)
             logits = jnp.einsum(
                 "...d,vd->...v", x, q8.astype(x.dtype),
                 preferred_element_type=jnp.float32,

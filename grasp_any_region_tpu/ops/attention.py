@@ -114,14 +114,39 @@ def _flash_sharded(q, k, v, causal, segment_ids, scale, mesh):
     names = mesh.axis_names
     b, sq, h, _ = q.shape
     kh = k.shape[2]
-    bt = tuple(
+    live = tuple(
         a for a in ("data", "fsdp") if a in names and mesh.shape[a] > 1
     )
-    bsz = 1
-    for a in bt:
-        bsz *= mesh.shape[a]
-    if bt and b % bsz != 0:
-        bt = ()  # replicate batch when it doesn't divide
+    # Shard the batch over the LARGEST dividing subgroup of the dp axes —
+    # falling straight to full replication (the r4 behavior) duplicated all
+    # ViT attention work across the data axis whenever B (= tiles, often 17)
+    # didn't divide data*fsdp. Candidates in decreasing size order.
+    candidates = [live]
+    if len(live) == 2:
+        a0, a1 = live
+        pair = sorted(live, key=lambda a: -mesh.shape[a])
+        candidates += [(pair[0],), (pair[1],)]
+    elif len(live) == 1:
+        pass
+    candidates.append(())
+    bt = ()
+    for cand in candidates:
+        bsz = 1
+        for a in cand:
+            bsz *= mesh.shape[a]
+        if b % bsz == 0:
+            bt = cand
+            break
+    if live and bt != live:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_flash_sharded: batch %d does not divide dp axes %s (sizes %s);"
+            " degrading batch sharding to %s — attention work is duplicated"
+            " on the dropped axes. Pad B to a multiple of the dp size to"
+            " avoid this.",
+            b, live, tuple(mesh.shape[a] for a in live), bt or "replicated",
+        )
     tensor = None
     if "tensor" in names and mesh.shape["tensor"] > 1:
         t = mesh.shape["tensor"]
@@ -131,27 +156,35 @@ def _flash_sharded(q, k, v, causal, segment_ids, scale, mesh):
     qspec = P(bspec, None, tensor, None)
     sspec = P(bspec, None)
 
-    has_segs = segment_ids is not None
+    # check_vma=False on both wrappings: pallas_call's out_shape
+    # ShapeDtypeStructs carry no vma, so the varying-manual-axes check
+    # cannot type the kernel's output and rejects the (otherwise valid)
+    # program ("vma on jax.ShapeDtypeStruct must not be None")
+    if segment_ids is not None:
 
-    def local(qq, kk, vv, seg):
-        return flash_attention_df(
-            qq, kk, vv, causal, seg if has_segs else None, scale
+        def local4(qq, kk, vv, seg):
+            return flash_attention_df(qq, kk, vv, causal, seg, scale)
+
+        fn = shard_map(
+            local4, mesh=mesh,
+            in_specs=(qspec, qspec, qspec, sspec),
+            out_specs=qspec,
+            check_vma=False,
         )
+        return fn(q, k, v, segment_ids)
+
+    # common unsegmented case: 3-input wrapping — no dead (B, Sq) zeros
+    # buffer threaded through just to keep the in_specs arity fixed
+    def local3(qq, kk, vv):
+        return flash_attention_df(qq, kk, vv, causal, None, scale)
 
     fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(qspec, qspec, qspec, sspec),
+        local3, mesh=mesh,
+        in_specs=(qspec, qspec, qspec),
         out_specs=qspec,
-        # concrete checker limitation: pallas_call's out_shape
-        # ShapeDtypeStructs carry no vma, so the varying-manual-axes check
-        # cannot type the kernel's output and rejects the (otherwise valid)
-        # program ("vma on jax.ShapeDtypeStruct must not be None")
         check_vma=False,
     )
-    seg_arg = (
-        segment_ids if has_segs else jnp.zeros((b, sq), jnp.int32)
-    )
-    return fn(q, k, v, seg_arg)
+    return fn(q, k, v)
 
 
 def mha(

@@ -40,19 +40,28 @@ class CheckpointManager:
                 max_to_keep=max_to_keep,
             ),
         )
+        # steps saved BY THIS PROCESS, tracked in Python: with async orbax a
+        # cadence save may not yet be finalized (and thus absent from
+        # all_steps()) when the end-of-run force save queries it — the
+        # all_steps() dedupe alone would re-save (delete + rewrite) the step,
+        # racing the in-flight write on some orbax versions
+        self._saved_steps: set = set()
 
     def maybe_save(self, step: int, state, force: bool = False) -> bool:
         ocp = _ocp()
-        if force and step in self.mgr.all_steps():
+        if force and (step in self._saved_steps or step in self.mgr.all_steps()):
             return False  # the cadence already saved this exact step
         if not force and not self.mgr.should_save(step):
             return False  # skip building the payload off-cadence
         payload = state._asdict() if hasattr(state, "_asdict") else dict(state)
         if not self.save_optimizer:
             payload = {k: v for k, v in payload.items() if k != "opt_state"}
-        return self.mgr.save(
+        saved = self.mgr.save(
             step, args=ocp.args.StandardSave(payload), force=force
         )
+        if saved:
+            self._saved_steps.add(step)
+        return saved
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
