@@ -295,8 +295,71 @@ def run_gar8b_decode(new_tokens: int = 64, s_ctx: int = 2048):
     return new_tokens / dt
 
 
+def run_gar8b_caption(new_tokens: int = 64, iters: int = 2):
+    """GAR-8B FULL end-to-end caption on ONE 16 GB chip (VERDICT r4 Next #1).
+
+    The reference's flagship model produces all its headline quality numbers
+    at 8B (/root/reference/evaluation/EVALUATION.md:192-202) but its stack
+    has never run the 8B past the decoder here. This line runs the complete
+    path at gar_8b size on hardware: preprocess-shaped synthetic batch (8B's
+    max_num_tiles=8 -> thumb + 2x4 grid = 9 tiles) -> mask patch embed ->
+    PE-Core-G ViT (47 blocks, width 1536, bf16) -> projector -> replay ->
+    ~2.6k-token prefill -> greedy decode.
+
+    Weights are BORN serving-only int8 (models/quantize.init_gar_serving_
+    int8): bf16 vision (~3.5 GiB) + int8 decoder (~6.6 GiB) + bf16 embed +
+    int8 head — the only layout that fits 16 GB (docs/GAR8B_MEMORY.md; the
+    bf16 decoder alone is ~16 GB). Values are random; latency is layout-,
+    not value-, dependent on this bandwidth-bound path.
+    """
+    import numpy as np
+    import jax
+
+    from grasp_any_region_tpu.core.config import gar_8b
+    from grasp_any_region_tpu.data.synthetic import synthetic_batch
+    from grasp_any_region_tpu.models.generate import generate
+    from grasp_any_region_tpu.models.quantize import init_gar_serving_int8
+
+    cfg = gar_8b()
+    params = init_gar_serving_int8(jax.random.PRNGKey(0), cfg)
+    batch, _, prompt_lens = synthetic_batch(
+        cfg, batch=1, grid=(2, 4), regions=1, seed=0
+    )
+
+    def run(i):
+        b = batch._replace(input_ids=batch.input_ids.at[:, 2].set(100 + i))
+        out = generate(
+            params, cfg, b, prompt_lens,
+            max_new_tokens=new_tokens, eot_id=-1, mask_compat=False,
+        )
+        return int(np.asarray(out.tokens).sum())
+
+    t0 = time.time()
+    run(0)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(iters):
+        run(i + 1)
+    dt = (time.time() - t0) / iters
+    peak = ""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            peak = f"; peak HBM {stats['peak_bytes_in_use'] / 2**30:.1f} GiB"
+    except Exception:
+        pass
+    print(
+        f"[bench] GAR-8B e2e caption 1 chip (9 tiles, S={int(prompt_lens[0])}, "
+        f"{new_tokens} tok): {dt*1000:.0f} ms/caption -> {1/dt:.3f} captions/s "
+        f"(prefill+decode; compile {compile_s:.0f}s{peak})",
+        file=sys.stderr,
+    )
+    return 1 / dt
+
+
 def run_serving(n_requests: int = 8, slots: int = 8,
-                new_tokens: int = DECODE_TOKENS, quantize: bool = False):
+                new_tokens: int = DECODE_TOKENS, quantize: bool = False,
+                decode_chunk: int = 0, label: str = ""):
     """Informational: continuous-batching engine (paged KV, serve/engine.py).
 
     Unlike the static-batch configs above, requests are admitted into a slot
@@ -304,7 +367,14 @@ def run_serving(n_requests: int = 8, slots: int = 8,
     cannot produce at all (HF generate, one request at a time). Workload
     matches the static B=8 config (17-tile prompts, 256 decode tokens) so
     the tok/s line is directly comparable; queued same-shape requests
-    prefill together (batched admission)."""
+    prefill together (batched admission).
+
+    Every line reports p50/p95 TTFT (submit -> first host-visible token;
+    engine.latency_stats) — the north-star metric BASELINE.json names.
+    decode_chunk=0 keeps the throughput default (window == max_new: one
+    fetch per generation, TTFT ~ the full window); a small chunk (16-32)
+    trades tok/s for sub-second TTFT — the measured table lives in
+    docs/PERF_NOTES.md round-5."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -333,9 +403,10 @@ def run_serving(n_requests: int = 8, slots: int = 8,
     ecfg = EngineConfig(
         slots=slots, page_size=64, num_pages=slots * 80 + 1,
         max_pages_per_slot=80, max_new_tokens=new_tokens, eot_id=-1,
-        # window == max_new: the whole generation is ONE device call + ONE
-        # fetch (the relay charges per fetch; eot exits the window early)
-        mask_compat=False, decode_chunk=new_tokens,
+        # default window == max_new: the whole generation is ONE device call
+        # + ONE fetch (the relay charges per fetch; eot exits the window
+        # early). decode_chunk > 0 overrides for the low-TTFT configs.
+        mask_compat=False, decode_chunk=decode_chunk or new_tokens,
         # int8 mode also quantizes the dense window KV (engine quantize_kv)
         quantize_kv=quantize,
     )
@@ -345,17 +416,22 @@ def run_serving(n_requests: int = 8, slots: int = 8,
     for b, pl in reqs[:n_requests]:
         eng.submit(b, pl)
     eng.run()
+    eng.req_stats = {}  # latency stats over the timed run only
     t0 = time.time()
     for b, pl in reqs[n_requests:]:
         eng.submit(b, pl)
     out = eng.run()
     dt = time.time() - t0
     assert len(out) == n_requests
+    ls = eng.latency_stats()
     tag = " int8-decode" if quantize else ""
+    if label:
+        tag += f" {label}"
     print(
         f"[bench] serving{tag} (paged KV, {slots} slots, {n_requests} reqs x "
-        f"{new_tokens} tok): {dt:.2f}s -> {n_requests/dt:.2f} requests/s, "
-        f"{n_requests*new_tokens/dt:.0f} tok/s",
+        f"{new_tokens} tok, window {ecfg.decode_chunk}): {dt:.2f}s -> "
+        f"{n_requests/dt:.2f} requests/s, {n_requests*new_tokens/dt:.0f} tok/s"
+        f"; TTFT p50 {ls['ttft_p50_s']:.2f}s p95 {ls['ttft_p95_s']:.2f}s",
         file=sys.stderr,
     )
     return n_requests * new_tokens / dt
@@ -389,28 +465,12 @@ def main():
     results = [safe_run(b) for b in (1, 8, 16)]
     safe_run(8, quantize=True)  # informational: int8 decode weights+KV+head
     safe_run(16, quantize=True)
-    def info(label, fn, **kw):
-        # each informational config is isolated: one OOM (e.g. a pool that
-        # does not fit next to a previous config's lingering buffers) must
-        # not cascade into the remaining lines
-        import gc
 
-        try:
-            fn(**kw)
-        except Exception as e:  # pragma: no cover - keep the headline robust
-            print(f"[bench] {label} skipped: {e}", file=sys.stderr)
-        gc.collect()
-
-    info("train-step", run_train)  # GAR-1B train step (VERDICT r3 #1)
-    info("gar8b-decode", run_gar8b_decode)  # 8B int8 decoder on one chip
-    info("long-context", run_long_context)  # 8k decoder prefill
-    info("serving bf16", run_serving)  # continuous-batching serving mode
-    info("serving int8", run_serving, quantize=True)  # serving-only weights
-    # 16-slot scale-out: possible since round 4's serving-only weight mode
-    # dropped the resident bf16 decoder copy (~1.7 GB freed) — the r3 OOM
-    # was the dual bf16+int8 param residency (PERF_NOTES addendum 8)
-    info("serving int8 16-slot", run_serving, quantize=True,
-         n_requests=16, slots=16)
+    # The headline JSON prints BEFORE the informational extras: every chip
+    # here compiles cold (the machine resets between rounds, so the
+    # persistent cache never spans a driver run), and the extras below add
+    # several cold compiles — if an external timeout cuts the run, the
+    # headline must already be on stdout.
     best = max(results)
     print(
         json.dumps(
@@ -424,8 +484,46 @@ def main():
                 "baseline_estimated": True,
                 "baseline_captions_per_sec": BASELINE_CAPTIONS_PER_SEC,
             }
-        )
+        ),
+        flush=True,
     )
+
+    budget_s = float(os.environ.get("GAR_BENCH_BUDGET_S", "1200"))
+    t_start = time.time()
+
+    def info(label, fn, **kw):
+        # each informational config is isolated: one OOM (e.g. a pool that
+        # does not fit next to a previous config's lingering buffers) must
+        # not cascade into the remaining lines; a global time budget keeps
+        # the whole tail bounded (extras are ordered by importance)
+        import gc
+
+        if time.time() - t_start > budget_s:
+            print(f"[bench] {label} skipped: over {budget_s:.0f}s budget",
+                  file=sys.stderr)
+            return
+        try:
+            fn(**kw)
+        except Exception as e:  # pragma: no cover - keep the headline robust
+            print(f"[bench] {label} skipped: {e}", file=sys.stderr)
+        gc.collect()
+
+    info("gar8b-caption", run_gar8b_caption)  # 8B FULL e2e caption (r4 #1)
+    # 16-slot scale-out: possible since round 4's serving-only weight mode
+    # dropped the resident bf16 decoder copy (~1.7 GB freed) — the r3 OOM
+    # was the dual bf16+int8 param residency (PERF_NOTES addendum 8)
+    info("serving int8 16-slot", run_serving, quantize=True,
+         n_requests=16, slots=16)
+    # low-TTFT config: 32-token windows -> first token surfaces after one
+    # window instead of the whole generation (p50 TTFT target sub-second;
+    # throughput cost = per-window gather/flush amortized over 32 not 256)
+    info("serving int8 low-ttft", run_serving, quantize=True,
+         decode_chunk=32, label="low-ttft")
+    info("train-step", run_train)  # GAR-1B train step (VERDICT r3 #1)
+    info("gar8b-decode", run_gar8b_decode)  # 8B int8 decoder on one chip
+    info("long-context", run_long_context)  # 8k decoder prefill
+    info("serving bf16", run_serving)  # continuous-batching serving mode
+    info("serving int8", run_serving, quantize=True)  # serving-only weights
 
 
 if __name__ == "__main__":

@@ -97,3 +97,71 @@ def serving_weights(params: dict) -> dict:
 
 def dequantize(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def init_gar_serving_int8(rng: jax.Array, cfg) -> dict:
+    """Random-init GAR params DIRECTLY in the serving-only int8 layout.
+
+    For GAR-8B the bf16 decoder alone is ~16 GB — materializing it just to
+    quantize would OOM a single 16 GB chip before `serving_weights` ever ran.
+    This initializer builds the exact tree `serving_weights(init_gar_params(
+    ...))` would produce, but the decoder matmuls are born int8 (uniform
+    random values; scales sized so dequantized weights have the usual ~0.02
+    std): bf16 vision/projector/mask-embed + int8 decoder + int8 LM head,
+    with NO bf16 decoder copies ever resident. Used by the 8B-on-one-chip
+    end-to-end bench (bench.run_gar8b_caption) and the 8B dryrun lowering.
+
+    Tree-shape parity with serving_weights is asserted by
+    tests/test_serving_only.py::test_init_serving_int8_tree_matches.
+    """
+    from ..core.config import GARConfig  # noqa: F401 — cfg: GARConfig
+    from .projector import init_projector_params
+    from .vision import init_vision_params
+
+    t = cfg.text
+    L, d, f = t.num_layers, t.hidden_size, t.intermediate_size
+    h, k, dh = t.num_heads, t.num_kv_heads, t.head_dim
+    v_rows = cfg.padded_vocab_size
+    k_vis, k_proj, k_llm = jax.random.split(rng, 3)
+    dtype = jnp.bfloat16
+
+    def q8(key, shape):
+        return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+    def sc(shape):
+        # uniform int8 in [-127,127] has std ~73.3; scale for ~0.02 weight std
+        return jnp.full(shape, 0.02 / 73.3, jnp.float32)
+
+    keys = jax.random.split(k_llm, 12)
+    mats = {"wq": (d, h * dh), "wk": (d, k * dh), "wv": (d, k * dh),
+            "wo": (h * dh, d), "w_gate": (d, f), "w_up": (d, f),
+            "w_down": (f, d)}
+    blocks = {"attn_norm": jnp.ones((L, d), dtype),
+              "mlp_norm": jnp.ones((L, d), dtype)}
+    for i, (name, shape) in enumerate(mats.items()):
+        blocks[f"{name}_q8"] = q8(keys[i], (L,) + shape)
+        blocks[f"{name}_scale"] = sc((L, 1, shape[1]))
+    llm = {"blocks": blocks, "final_norm": jnp.ones((d,), dtype)}
+    if t.tie_word_embeddings:
+        # tied: the (V, D) int8 head doubles as the embedding table
+        # (per-vocab-row scales — see quantize_decode_weights)
+        llm["lm_head_q8"] = q8(keys[8], (v_rows, d))
+        llm["lm_head_scale"] = sc((v_rows, 1))
+    else:
+        llm["embed"] = (
+            jax.random.normal(keys[9], (v_rows, d), jnp.float32) * 0.02
+        ).astype(dtype)
+        llm["lm_head_q8"] = q8(keys[10], (d, v_rows))
+        llm["lm_head_scale"] = sc((1, v_rows))
+
+    kh_, kw_ = cfg.mask_patch_kernel
+    return {
+        "vision": init_vision_params(k_vis, cfg.vision, dtype),
+        "projector": init_projector_params(k_proj, cfg, dtype),
+        "llm": llm,
+        "mask_embed": {
+            "kernel": jnp.zeros(
+                (kh_ * kw_ * cfg.mask_in_channels, cfg.vision.width), dtype
+            )
+        },
+    }

@@ -154,6 +154,13 @@ class ContinuousBatchingEngine:
         # window entry (which contains the cycle's single fetch) reflects
         # device time; the others measure host/dispatch overhead.
         self.timing: Dict[str, float] = {}
+        # per-request latency bookkeeping (BASELINE.json names p50 TTFT as a
+        # north-star metric): submit -> first HOST-VISIBLE token -> done.
+        # Tokens become host-visible at fetch boundaries, so with
+        # decode_chunk=N a fresh request's TTFT includes its first decode
+        # window — exactly the throughput-vs-TTFT trade decode_chunk buys
+        # (docs/PERF_NOTES.md round-5 serving-latency table).
+        self.req_stats: Dict[int, dict] = {}
 
         @partial(jax.jit, static_argnames=("self_cfg",))
         def _prefill(params, self_cfg, batch, prompt_len):
@@ -419,10 +426,52 @@ class ContinuousBatchingEngine:
     def submit(self, batch: GARBatch, prompt_len: int) -> int:
         """Queue one request (batch must have batch dim 1). Returns its id."""
         assert batch.input_ids.shape[0] == 1, "submit one request at a time"
+        import time as _time
+
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, batch, int(prompt_len)))
+        self.req_stats[rid] = {
+            "submit": _time.perf_counter(), "first": None, "done": None,
+            "prompt_len": int(prompt_len), "n_tokens": 0,
+        }
         return rid
+
+    def _mark_tokens(self, rid: int, n_new: int) -> None:
+        """Record host-visible token arrivals for latency accounting (call
+        only at host sync points — fetches — never on lazy dispatches)."""
+        st = self.req_stats.get(rid)
+        if st is None or n_new <= 0:
+            return
+        import time as _time
+
+        now = _time.perf_counter()
+        if st["first"] is None:
+            st["first"] = now
+        st["n_tokens"] += n_new
+
+    def latency_stats(self) -> dict:
+        """Aggregate per-request latency over every completed request since
+        construction: p50/p95 TTFT (submit -> first host-visible token),
+        p50/p95 total latency (submit -> done), and decode tok/s."""
+        done = [s for s in self.req_stats.values()
+                if s["done"] is not None and s["first"] is not None]
+        if not done:
+            return {"n": 0}
+        ttft = np.sort([s["first"] - s["submit"] for s in done])
+        total = np.sort([s["done"] - s["submit"] for s in done])
+
+        def pct(a, p):
+            return float(a[min(len(a) - 1, int(round(p / 100 * (len(a) - 1))))])
+
+        toks = sum(s["n_tokens"] for s in done)
+        span = max(s["done"] for s in done) - min(s["submit"] for s in done)
+        return {
+            "n": len(done),
+            "ttft_p50_s": pct(ttft, 50), "ttft_p95_s": pct(ttft, 95),
+            "latency_p50_s": pct(total, 50), "latency_p95_s": pct(total, 95),
+            "tok_per_s": toks / span if span > 0 else float("nan"),
+        }
 
     def has_work(self) -> bool:
         return (
@@ -574,6 +623,7 @@ class ContinuousBatchingEngine:
                     self._fresh.add(slot)
                     continue
                 tok0 = int(tok0s[i])
+                self._mark_tokens(rid, 1)  # tok0 was host-fetched above
                 self.cur[slot] = tok0
                 self.slots[slot] = _SlotState(
                     request_id=rid, pages=pages, tokens=[tok0]
@@ -661,7 +711,12 @@ class ContinuousBatchingEngine:
         self._fresh.add(slot)
 
     def _retire(self, slot: int) -> None:
+        import time as _time
+
         st = self.slots[slot]
+        rs = self.req_stats.get(st.request_id)
+        if rs is not None:
+            rs["done"] = _time.perf_counter()
         self.finished[st.request_id] = st.tokens
         self.allocator.release(st.pages)
         self.block_table[slot] = 0
@@ -688,6 +743,7 @@ class ContinuousBatchingEngine:
             st = self.slots[slot]
             self.seq_lens[slot] += 1  # the step cached cur's K/V
             tok = int(nxt[slot])
+            self._mark_tokens(st.request_id, 1)
             st.tokens.append(tok)
             self.cur[slot] = tok
             done = (
@@ -811,11 +867,13 @@ class ContinuousBatchingEngine:
                 st = self.slots[s]
                 if s in fresh:
                     tok0 = int(cur0[s])
+                    self._mark_tokens(st.request_id, 1)
                     st.tokens.append(tok0)
                     done0 = tok0 == e.eot_id or e.max_new_tokens == 1
                     if on_event is not None:
                         on_event(StepEvent(st.request_id, tok0, done0))
                 n = int(counts[s])
+                self._mark_tokens(st.request_id, n)
                 for t in range(n):
                     tok = int(toks[t, s])
                     st.tokens.append(tok)

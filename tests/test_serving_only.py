@@ -111,3 +111,54 @@ def test_serving_generate_runs_end_to_end():
     out2 = generate(dual, cfg, batch, prompt_lens, max_new_tokens=4, eot_id=-1,
                     mask_compat=False)
     assert np.asarray(out2.tokens).shape == (2, 4)
+
+
+def test_init_serving_int8_tree_matches():
+    """init_gar_serving_int8 must produce EXACTLY the tree (paths, dtypes,
+    shapes) of serving_weights(init_gar_params(...)) — it exists so GAR-8B
+    can be born int8 without a bf16 intermediate, and any drift would make
+    the 8B bench exercise a different code path than real serving."""
+    from grasp_any_region_tpu.models.quantize import init_gar_serving_int8
+
+    def tree_sig(p):
+        flat = jax.tree_util.tree_flatten_with_path(p)[0]
+        return {
+            jax.tree_util.keystr(path): (leaf.shape, leaf.dtype)
+            for path, leaf in flat
+        }
+
+    for tie in (True, False):
+        import dataclasses
+
+        cfg = gar_tiny()
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, tie_word_embeddings=tie)
+        )
+        ref = serving_weights(
+            init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        )
+        got = init_gar_serving_int8(jax.random.PRNGKey(0), cfg)
+        assert tree_sig(got) == tree_sig(ref), f"tie={tie}"
+
+
+def test_init_serving_int8_generates():
+    """The born-int8 tree runs generate() end to end (untied variant mirrors
+    GAR-8B's layout)."""
+    import dataclasses
+
+    from grasp_any_region_tpu.data.synthetic import synthetic_batch
+    from grasp_any_region_tpu.models.generate import generate
+    from grasp_any_region_tpu.models.quantize import init_gar_serving_int8
+
+    cfg = gar_tiny()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, tie_word_embeddings=False)
+    )
+    params = init_gar_serving_int8(jax.random.PRNGKey(0), cfg)
+    batch, _, prompt_lens = synthetic_batch(cfg, batch=1, grid=(2, 1),
+                                            regions=1, seed=0)
+    out = generate(params, cfg, batch, prompt_lens, max_new_tokens=4,
+                   eot_id=-1, mask_compat=False)
+    toks = np.asarray(out.tokens)
+    assert toks.shape == (1, 4)
+    assert (toks >= 0).all()
