@@ -12,6 +12,10 @@ Usage:
       --model-path /path/to/ckpt \
       --image a.png --mask a_mask.png --image b.png --mask b_mask.png \
       --slots 4 --max-new-tokens 256
+
+Throughput-leader config (the bench.py 811 tok/s line on one 16 GiB chip):
+add `--int8-serving --slots 16` — serving-only int8 decoder weights +
+quantized window KV, which is what makes 16 resident slots fit.
 """
 
 from __future__ import annotations
@@ -42,6 +46,11 @@ def main(argv=None):
                    help="submit each image/mask pair this many times")
     p.add_argument("--random-init", action="store_true",
                    help="allow random weights (smoke tests)")
+    p.add_argument("--int8-serving", action="store_true",
+                   help="serving-only int8 decoder weights + quantized "
+                        "window KV — halves the resident decoder so "
+                        "--slots 16 fits one 16 GiB chip (quality vs bf16 "
+                        "unvalidated on real checkpoints; see cli/parity.py)")
     args = p.parse_args(argv)
     if len(args.image) != len(args.mask):
         p.error(f"--image given {len(args.image)} times but --mask {len(args.mask)}")
@@ -50,7 +59,8 @@ def main(argv=None):
 
     from ..serve.engine import ContinuousBatchingEngine, EngineConfig
 
-    rt = GARRuntime.load(args.model_path, args.preset, args.random_init)
+    rt = GARRuntime.load(args.model_path, args.preset, args.random_init,
+                         int8_serving=args.int8_serving)
 
     # build each request as its own B=1 batch (per-request admission)
     requests = []
@@ -75,6 +85,7 @@ def main(argv=None):
         eot_id=rt.tok.eot_id,
         decode_chunk=args.decode_chunk,
         prefill_chunk=args.prefill_chunk,
+        quantize_kv=args.int8_serving,
     )
     eng = ContinuousBatchingEngine(rt.params, rt.cfg, ecfg)
     names = {}

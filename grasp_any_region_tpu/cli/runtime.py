@@ -36,7 +36,15 @@ class GARRuntime:
         preset: str = "gar_1b",
         random_init: bool = False,
         seed: int = 0,
+        int8_serving: bool = False,
     ) -> "GARRuntime":
+        """int8_serving: convert to serving-only int8 decoder weights
+        (models/quantize.serving_weights — per-channel int8 matmuls, NO
+        resident bf16 decoder copies). Halves the resident decoder footprint,
+        which is what lets 16 engine slots fit one 16 GiB chip (the bench.py
+        serving leader, 811 tok/s). Quality vs bf16 is parity-tested on
+        random weights only; real-checkpoint validation is cli/parity.py
+        check (c)."""
         import jax
         import jax.numpy as jnp
 
@@ -67,6 +75,18 @@ class GARRuntime:
             params = init_gar_params(jax.random.PRNGKey(seed), cfg, dtype=jnp.bfloat16)
         if tok is None:
             tok = GARTokenizer.synthetic(cfg.prompt_numbers)
+        if int8_serving:
+            from ..models.quantize import serving_weights
+
+            params = serving_weights(params)
+            print(
+                "[gar] int8 serving-only weights: decoder matmuls quantized "
+                "per-output-channel int8 (no resident bf16 copies). Quality "
+                "vs bf16 is validated on random weights only — run "
+                "cli/parity.py check (c) against a real checkpoint before "
+                "trusting captions.",
+                file=sys.stderr,
+            )
         proc = GARImageProcessor(ImageProcessorConfig(max_num_tiles=cfg.max_num_tiles))
         return cls(cfg=cfg, params=params, tok=tok, proc=proc)
 

@@ -513,9 +513,15 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--random-init", action="store_true")
+    p.add_argument("--int8-serving", action="store_true",
+                   help="serving-only int8 decoder weights (no resident "
+                        "bf16 copies) — the memory layout behind the "
+                        "16-slot engine config; quality vs bf16 "
+                        "unvalidated on real checkpoints (cli/parity.py)")
     args = p.parse_args(argv)
 
-    rt = GARRuntime.load(args.model_path, args.preset, args.random_init)
+    rt = GARRuntime.load(args.model_path, args.preset, args.random_init,
+                         int8_serving=args.int8_serving)
     sam = SamPredictor.load(args.sam_path)
     GARServer(rt, sam).serve(args.host, args.port)
 
