@@ -90,11 +90,20 @@ def activation_checksums(rt, image, mask) -> dict:
 
     x, angles = vision_embed(params["vision"], cfg.vision, pix, membeds)
     out["vision_patch_embed"] = checksum(x)
-    blk0 = jax.tree_util.tree_map(lambda a: a[0], params["vision"]["blocks"])
-    ang0 = None if angles is None else angles[0]
-    out["vision_block0"] = checksum(
-        _block(cfg.vision, x, blk0, ang0, use_flash=False)
-    )
+    # Per-block taps at blocks 0, L//2, L-1 (VERDICT r4 Next #7): the tower
+    # has no external numerical anchor (timm not installable here), so when
+    # real weights land a mismatch must bisect to a single block in ONE run.
+    # The python loop replays the scan body block by block; tap-path ==
+    # scan-path is asserted by tests/test_artifacts.py (gar_tiny).
+    n_blocks = jax.tree_util.tree_leaves(params["vision"]["blocks"])[0].shape[0]
+    tap_at = sorted({0, n_blocks // 2, n_blocks - 1})
+    xb = x
+    for i in range(n_blocks):
+        bp = jax.tree_util.tree_map(lambda a: a[i], params["vision"]["blocks"])
+        ang = None if angles is None else angles[i]
+        xb = _block(cfg.vision, xb, bp, ang, use_flash=False)
+        if i in tap_at:
+            out[f"vision_block{i}"] = checksum(xb)
     hidden = vision_forward(params["vision"], cfg.vision, pix, membeds)
     out["vision_final"] = checksum(hidden)
     if cfg.vision_use_cls_token:
