@@ -18,6 +18,15 @@ Reference analog: the serving stack's tensor-parallel flags
 fit" by OOM-ing at runtime, we answer it at compile time.
 
 tools/gar8b_memory.py renders the full sweep into docs/GAR8B_MEMORY.md.
+
+EXPECTED RUNTIME (measured 2026-08-20 on this machine, real TPU compiler,
+run alone): ~9 min total — train_fsdp4_tp2 ~475 s (the 47-block remat'd
+ViT + 32-layer decoder backward is one huge module), prefill_tp4 ~50 s,
+decode_tp4 ~7 s, weight_bytes_math <1 s. Budget accordingly before
+re-running; the FAST-lane regression canary for this surface is
+tests/test_gar8b_aot_quick.py (decode-step lowering, ~10 s, not slow-
+marked), which catches sharding-rule breaks at production dims without
+paying for the train compile.
 """
 
 import pytest
