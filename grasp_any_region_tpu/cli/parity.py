@@ -18,10 +18,15 @@ Checks, in order:
       (models/quantize.serving_weights) must reproduce the same caption —
       greedy trajectories can diverge after one flipped argmax, so this is
       the int8 quality gate VERDICT r3 Weak #7 asked for.
-  (d) Per-module activation checksums (patch-embed / vision block 0 / vision
-      final / projector / decoder final norm) on the demo input, so a vision
-      mismatch is localizable to a module in minutes. --dump-checksums
-      writes them to JSON for diffing across code versions.
+  (d) Per-module activation checksums (patch-embed / vision blocks 0, L//2,
+      L-1 / vision final / projector / decoder final norm) on the demo
+      input, so a vision mismatch bisects to a single block in one run
+      (docs/VISION_COMPAT.md is the decision-by-decision dossier).
+      --dump-checksums writes them to JSON for diffing across versions.
+  (e) Speculative accept-rate probe (--speculative GAMMA,K): asserts
+      bit-exact greedy parity of draft/verify vs generate() on the demo
+      sample and prints the realized accept rate vs the K/L break-even —
+      the go/no-go PERF_NOTES round-4 addendum 3 gated on real weights.
 
 Exit code: 0 = every check that could run matched; 1 = any mismatch;
 2 = nothing could run (no artifacts found).
@@ -150,6 +155,8 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--skip-int8", action="store_true")
     p.add_argument("--dump-checksums", default=None, help="write taps JSON")
+    p.add_argument("--speculative", default="4,4", metavar="GAMMA,K",
+                   help="accept-rate probe config; '' disables")
     args = p.parse_args(argv)
 
     from .runtime import GARRuntime, load_image, load_mask
@@ -250,6 +257,57 @@ def main(argv=None):
                         "got": int8_caption})
         print(f"[parity] int8 demo caption: {'MATCH' if ok else 'MISMATCH'}",
               file=sys.stderr)
+
+    # ---- (e) speculative accept-rate probe ------------------------------
+    # The r4 go/no-go (docs/PERF_NOTES.md round-4 addendum 3) is gated on
+    # real weights: break-even accept is K/L (25% at K=4 on GAR-1B's 16
+    # layers). This check runs draft/verify on the demo sample, asserts
+    # bit-exact greedy parity vs generate(), and reports the realized
+    # accept rate with the go/no-go decision — one run away once a
+    # checkpoint lands (VERDICT r4 Next #9).
+    if image is not None and args.speculative:
+        import numpy as np
+
+        from ..data.builders import build_region_batch
+        from ..models.generate import generate
+        from ..models.speculative import generate_speculative
+
+        gamma, k_draft = (int(x) for x in args.speculative.split(","))
+        batch, plens = build_region_batch(
+            rt.cfg, rt.tok, rt.proc,
+            [RegionSample(image=image, masks={1: mask},
+                          instruction=DEMO_INSTRUCTION)],
+        )
+        base = generate(rt.params, rt.cfg, batch, plens,
+                        max_new_tokens=args.max_new_tokens,
+                        eot_id=rt.tok.eot_id)
+        spec = generate_speculative(
+            rt.params, rt.cfg, batch, plens,
+            max_new_tokens=args.max_new_tokens, gamma=gamma,
+            draft_layers=k_draft, eot_id=rt.tok.eot_id,
+        )
+        n = int(np.asarray(base.num_generated)[0])
+        exact = bool(
+            (np.asarray(spec.tokens)[0, :n] == np.asarray(base.tokens)[0, :n]).all()
+        )
+        drafted = int(np.asarray(spec.stats.drafted))
+        accepted = int(np.asarray(spec.stats.accepted))
+        rate = accepted / max(drafted, 1)
+        n_layers = rt.cfg.text.num_layers
+        break_even = k_draft / n_layers
+        go = rate >= break_even
+        results.append({
+            "check": "speculative", "ok": exact, "accept_rate": rate,
+            "break_even": break_even, "go": go,
+            "gamma": gamma, "draft_layers": k_draft,
+        })
+        print(
+            f"[parity] speculative gamma={gamma} K={k_draft}: "
+            f"{'EXACT' if exact else 'TOKEN MISMATCH (bug)'}; accept "
+            f"{rate:.1%} vs break-even {break_even:.1%} -> "
+            f"{'GO' if go else 'NO-GO'} for this checkpoint",
+            file=sys.stderr,
+        )
 
     # ---- (d) activation checksums --------------------------------------
     if image is not None:
