@@ -1,16 +1,18 @@
 """Bisect the 950 ms param-update overhead: carry only a subtree of params
 through the scan (the rest captured constant) and SGD-update just it.
-Run: python -c "exec(open('tools/train_dissect2.py').read())"
+
+Run from the repo root: python -m tools.train_dissect2
+Probe rules live in tools/probe_common.py.
 """
-import time, sys
-import numpy as np
-import jax, jax.numpy as jnp
+import jax
+import jax.numpy as jnp
+
 from grasp_any_region_tpu.core.config import gar_1b
 from grasp_any_region_tpu.data.synthetic import synthetic_batch
 from grasp_any_region_tpu.models import init_gar_params
 from grasp_any_region_tpu.train.step import loss_fn
+from tools.probe_common import carry_probe
 
-ITERS = 8
 cfg = gar_1b()
 params = init_gar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
 batch, labels, _ = synthetic_batch(cfg, batch=1, grid=(4, 4), regions=1, seed=0)
@@ -38,25 +40,15 @@ def probe(name, paths):
                 out[top] = v
         return out
 
-    @jax.jit
-    def loop(carry, rest, b, l):
-        def body(c, _):
-            loss, g = jax.value_and_grad(
-                lambda cc: loss_fn(merge(cc, rest), cfg, b, l,
-                                   mask_compat=False))(c)
-            c = jax.tree_util.tree_map(
-                lambda w, d: w - (1e-8 * d).astype(w.dtype), c, g)
-            return c, loss
-        c, losses = jax.lax.scan(body, carry, None, length=ITERS)
-        return losses
+    def step(c):
+        loss, g = jax.value_and_grad(
+            lambda cc: loss_fn(merge(cc, rest), cfg, batch, labels,
+                               mask_compat=False))(c)
+        c = jax.tree_util.tree_map(
+            lambda w, d: w - (1e-8 * d).astype(w.dtype), c, g)
+        return c, loss
 
-    out = loop(carry0, rest, batch, labels)
-    np.asarray(out)[:1]
-    t0 = time.time()
-    out = loop(carry0, rest, batch, labels)
-    np.asarray(out)[:1]
-    print(f"[dissect2] update {name}: {(time.time()-t0)/ITERS*1000:.0f} ms/iter",
-          file=sys.stderr)
+    carry_probe(f"update {name}", step, carry0, tag="dissect2")
 
 
 probe("llm only", [("llm", None)])
