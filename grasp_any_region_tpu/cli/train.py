@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--pipe", type=int, default=1,
                    help="pipeline-parallel stages (decoder layers partition; "
                         "requires --tensor 1 --seq 1)")
+    p.add_argument("--pipe-schedule", default="gpipe",
+                   choices=["gpipe", "1f1b"],
+                   help="1f1b interleaves each microbatch's backward right "
+                        "after its forward retires: O(pipe) activation "
+                        "memory instead of O(n_micro), same bubble "
+                        "(parallel/pipeline.pipeline_train_1f1b)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="param + Adam-moment dtype. bfloat16 is the "
@@ -114,6 +120,7 @@ def main(argv=None):
         mesh=mesh if mesh.size > 1 else None,
         save_optimizer=not args.no_save_optimizer,
         log_interval=args.log_interval,
+        pipe_schedule=args.pipe_schedule,
     )
     trainer = Trainer(cfg, params, dataset, opt_cfg, tcfg)
     state = trainer.train()

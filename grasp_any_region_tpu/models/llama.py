@@ -739,8 +739,11 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16,
             table, NamedSharding(mesh, P(None, None))
         )
         out = table[input_ids]
+        # only the dp axes the mesh actually has (a pipe-only training
+        # mesh carries neither)
+        dp = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
         return jax.lax.with_sharding_constraint(
-            out, NamedSharding(mesh, P(("data", "fsdp"), None, None))
+            out, NamedSharding(mesh, P(dp or None, None, None))
         )
     return table[input_ids]
 

@@ -28,7 +28,7 @@ def shift_labels(labels: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def chunked_cross_entropy(
+def ce_sums(
     llm_params: dict,
     cfg: TextConfig,
     hidden: jnp.ndarray,  # (B, S, D) pre-final-norm decoder output
@@ -36,8 +36,17 @@ def chunked_cross_entropy(
     *,
     chunk_size: int = 1024,
     valid_vocab: Optional[int] = None,
-) -> jnp.ndarray:
-    """Mean CE over supervised positions. Never materializes full logits."""
+):
+    """(sum of NLL over supervised positions, supervised count).
+
+    The unreduced form exists for 1F1B pipelining (parallel/pipeline.py):
+    each microbatch's backward runs before later microbatches' forwards, so
+    the per-microbatch loss head must emit a SUM whose cotangent can be
+    seeded with the global 1/count (computable from labels alone, before
+    any forward). chunked_cross_entropy is this divided once at the end.
+
+    llm_params needs only the head leaves ("final_norm" + "lm_head", or
+    "embed" when tied) — callers may pass a pruned dict."""
     b, s, d = hidden.shape
     x = rms_norm(hidden, llm_params["final_norm"], cfg.rms_norm_eps)
     head = llm_params.get("lm_head")
@@ -86,7 +95,28 @@ def chunked_cross_entropy(
         nll, n = chunk_nll(head, xc, lc)
         return (total + nll, count + n), None
 
-    (total, count), _ = jax.lax.scan(
-        body, (jnp.float32(0.0), jnp.int32(0)), (x, labels)
+    # derive the zero carries FROM the data so they inherit its
+    # varying-manual-axes type — ce_sums must trace identically outside
+    # jit, under jit, and inside a shard_map manual context (the 1F1B
+    # pipeline calls it per microbatch on one stage)
+    zero_f = (x.reshape(-1)[0] * 0).astype(jnp.float32)
+    zero_i = (labels.reshape(-1)[0] * 0).astype(jnp.int32)
+    (total, count), _ = jax.lax.scan(body, (zero_f, zero_i), (x, labels))
+    return total, count
+
+
+def chunked_cross_entropy(
+    llm_params: dict,
+    cfg: TextConfig,
+    hidden: jnp.ndarray,  # (B, S, D) pre-final-norm decoder output
+    labels: jnp.ndarray,  # (B, S) already shifted; -100 = ignore
+    *,
+    chunk_size: int = 1024,
+    valid_vocab: Optional[int] = None,
+) -> jnp.ndarray:
+    """Mean CE over supervised positions. Never materializes full logits."""
+    total, count = ce_sums(
+        llm_params, cfg, hidden, labels,
+        chunk_size=chunk_size, valid_vocab=valid_vocab,
     )
     return total / jnp.maximum(count, 1).astype(jnp.float32)

@@ -111,6 +111,83 @@ def packed_loss_fn(
     )
 
 
+def _merge_pipe_grads(grads: dict, d_llm: dict) -> dict:
+    """Add 1F1B decoder grads (blocks + head leaves) into the full-tree
+    grads produced by the embedding-path vjp."""
+    gl = dict(grads["llm"])
+    gl["blocks"] = jax.tree_util.tree_map(
+        jnp.add, gl["blocks"], d_llm["blocks"]
+    )
+    for k, v in d_llm.items():
+        if k != "blocks":
+            gl[k] = gl[k] + v
+    out = dict(grads)
+    out["llm"] = gl
+    return out
+
+
+def loss_and_grads_1f1b(
+    params: Any,
+    cfg: GARConfig,
+    batch: GARBatch,
+    labels: jnp.ndarray,
+    *,
+    mask_compat: bool = True,
+    use_flash: Optional[bool] = None,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """value_and_grad equivalent of loss_fn under the 1F1B pipe schedule.
+
+    The decoder+CE segment runs the manual 1F1B pipeline (activation
+    memory O(P) instead of O(n_micro) — parallel/pipeline.py docstring);
+    the vision/embedding front half backprops through an ordinary vjp fed
+    the pipeline's d(embeds). Numerically equivalent to
+    value_and_grad(loss_fn) with the GPipe schedule
+    (tests/test_pipeline_1f1b.py)."""
+    from ..parallel.pipeline import pipeline_train_1f1b
+
+    def embeds_fn(p):
+        return build_prefill_embeds(
+            p, cfg, batch, mask_compat=mask_compat, remat=True,
+            compute_dtype=jnp.bfloat16, mesh=mesh,
+        )
+
+    embeds, emb_vjp = jax.vjp(embeds_fn, params)
+    loss, d_llm, d_embeds = pipeline_train_1f1b(
+        params["llm"], cfg.text, embeds, batch.positions, labels, mesh,
+        segment_ids=batch.segment_ids, remat=True, use_flash=use_flash,
+        valid_vocab=cfg.extended_vocab_size,
+    )
+    (grads,) = emb_vjp(d_embeds)
+    return loss, _merge_pipe_grads(grads, d_llm)
+
+
+def packed_loss_and_grads_1f1b(
+    params: Any,
+    cfg: GARConfig,
+    packed,
+    *,
+    use_flash: Optional[bool] = None,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """1F1B counterpart of packed_loss_fn (text-only packed rows)."""
+    from ..parallel.pipeline import pipeline_train_1f1b
+
+    def embeds_fn(p):
+        return embed_tokens(p["llm"], packed.input_ids, jnp.bfloat16,
+                            mesh=mesh)
+
+    embeds, emb_vjp = jax.vjp(embeds_fn, params)
+    loss, d_llm, d_embeds = pipeline_train_1f1b(
+        params["llm"], cfg.text, embeds, packed.positions, packed.labels,
+        mesh, segment_ids=packed.segment_ids, remat=True,
+        use_flash=use_flash, right_padded=False,
+        valid_vocab=cfg.extended_vocab_size,
+    )
+    (grads,) = emb_vjp(d_embeds)
+    return loss, _merge_pipe_grads(grads, d_llm)
+
+
 def make_packed_train_step(
     cfg: GARConfig,
     tx: optax.GradientTransformation,
@@ -118,16 +195,29 @@ def make_packed_train_step(
     use_flash: Optional[bool] = None,
     donate: bool = True,
     mesh: Optional[Mesh] = None,
+    pipe_schedule: str = "gpipe",
 ):
     """Train step over PackedTextBatch rows. Pair with a frozen-vision
     optimizer regime (train/optimizer.py) — the packed path never touches
-    vision params, so their gradients are zero."""
+    vision params, so their gradients are zero.
+
+    pipe_schedule: "gpipe" (grad through the pipelined forward) or "1f1b"
+    (manual interleaved schedule, O(P) activation memory) — only
+    meaningful when the mesh carries a pipe axis > 1."""
+    use_1f1b = pipe_schedule == "1f1b" and _pipe_size(mesh) > 1
+    if pipe_schedule not in ("gpipe", "1f1b"):
+        raise ValueError(f"unknown pipe_schedule {pipe_schedule!r}")
 
     def step_fn(state: TrainState, packed):
-        loss, grads = jax.value_and_grad(
-            lambda p: packed_loss_fn(p, cfg, packed, use_flash=use_flash,
-                                     mesh=mesh)
-        )(state.params)
+        if use_1f1b:
+            loss, grads = packed_loss_and_grads_1f1b(
+                state.params, cfg, packed, use_flash=use_flash, mesh=mesh
+            )
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: packed_loss_fn(p, cfg, packed, use_flash=use_flash,
+                                         mesh=mesh)
+            )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
@@ -220,14 +310,25 @@ def _train_step_fn(
     mask_compat: bool,
     use_flash: Optional[bool],
     mesh: Optional[Mesh],
+    pipe_schedule: str = "gpipe",
 ):
+    use_1f1b = pipe_schedule == "1f1b" and _pipe_size(mesh) > 1
+    if pipe_schedule not in ("gpipe", "1f1b"):
+        raise ValueError(f"unknown pipe_schedule {pipe_schedule!r}")
+
     def step_fn(state: TrainState, batch: GARBatch, labels: jnp.ndarray):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(
-                p, cfg, batch, labels, mask_compat=mask_compat,
+        if use_1f1b:
+            loss, grads = loss_and_grads_1f1b(
+                state.params, cfg, batch, labels, mask_compat=mask_compat,
                 use_flash=use_flash, mesh=mesh,
             )
-        )(state.params)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(
+                    p, cfg, batch, labels, mask_compat=mask_compat,
+                    use_flash=use_flash, mesh=mesh,
+                )
+            )(state.params)
         if mesh is not None:
             # Pin each gradient to its param's sharding AT the grad's
             # definition: GSPMD then reduce-scatters every fsdp grad as the
@@ -262,11 +363,14 @@ def make_train_step(
     use_flash: Optional[bool] = None,
     donate: bool = True,
     mesh: Optional[Mesh] = None,
+    pipe_schedule: str = "gpipe",
 ):
     """mesh: pass the active Mesh to enable sequence parallelism when its
-    'seq' axis > 1 (threaded into llama_prefill's Ulysses/ring dispatch)."""
+    'seq' axis > 1 (threaded into llama_prefill's Ulysses/ring dispatch).
+    pipe_schedule: "gpipe" | "1f1b" — see make_packed_train_step."""
     step_fn = _train_step_fn(cfg, tx, mask_compat=mask_compat,
-                             use_flash=use_flash, mesh=mesh)
+                             use_flash=use_flash, mesh=mesh,
+                             pipe_schedule=pipe_schedule)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

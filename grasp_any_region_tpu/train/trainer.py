@@ -49,6 +49,10 @@ class TrainerConfig:
     # work (native RLE decode, native bicubic resize) releases the GIL
     num_workers: int = 4
     prefetch_batches: int = 2
+    # "gpipe" differentiates through the schedule (activation memory grows
+    # with n_micro); "1f1b" interleaves each microbatch's backward
+    # (O(pipe) activations, same bubble — parallel/pipeline.py)
+    pipe_schedule: str = "gpipe"
 
 
 class Trainer:
@@ -73,7 +77,8 @@ class Trainer:
                     "(the batch axis shards over both)"
                 )
         self.state, self.tx = init_sharded_state(params, opt_cfg, mesh=self.mesh)
-        self.step_fn = make_train_step(cfg, self.tx, mesh=self.mesh)
+        self.step_fn = make_train_step(cfg, self.tx, mesh=self.mesh,
+                                pipe_schedule=tcfg.pipe_schedule)
         # sequence parallelism: collate pads S to a multiple of the seq axis
         # (the reference's pad_for_sequence_parallel, custom_collect_fn.py:89-94)
         self.seq_multiple = tcfg.mesh.seq if tcfg.mesh else 1
