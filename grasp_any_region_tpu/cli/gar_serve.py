@@ -38,7 +38,15 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--slots", type=int, default=4)
     p.add_argument("--page-size", type=int, default=64)
-    p.add_argument("--decode-chunk", type=int, default=32)
+    p.add_argument("--decode-chunk", type=int, default=64,
+                   help="decode window (tokens per device call + fetch). "
+                        "Measured on the 8-slot int8 workload: 64 gives "
+                        "636 tok/s at 2.03s p50 TTFT vs 754/2.72s at "
+                        "window=max_new and 548/2.05s at 32 - TTFT is "
+                        "floored by the admission prefill, so windows "
+                        "below 64 burn throughput for nothing "
+                        "(PERF_NOTES round-5 addendum 2). Use 0 for "
+                        "window=max-new-tokens (max throughput)")
     p.add_argument("--prefill-chunk", type=int, default=None,
                    help="TTFT fairness: chunk new prompts' decoder sweep so "
                         "active streams aren't stalled a whole prefill")
@@ -83,7 +91,7 @@ def main(argv=None):
         max_pages_per_slot=pages_per_slot,
         max_new_tokens=args.max_new_tokens,
         eot_id=rt.tok.eot_id,
-        decode_chunk=args.decode_chunk,
+        decode_chunk=args.decode_chunk or args.max_new_tokens,
         prefill_chunk=args.prefill_chunk,
         quantize_kv=args.int8_serving,
     )

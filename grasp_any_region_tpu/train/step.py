@@ -52,6 +52,7 @@ def loss_fn(
     mask_compat: bool = True,
     use_flash: Optional[bool] = None,
     mesh: Optional[Mesh] = None,
+    ce_chunk: int = 1024,
 ) -> jnp.ndarray:
     embeds = build_prefill_embeds(
         params, cfg, batch, mask_compat=mask_compat, remat=True,
@@ -72,7 +73,7 @@ def loss_fn(
         )
     return chunked_cross_entropy(
         params["llm"], cfg.text, hidden, shift_labels(labels),
-        valid_vocab=cfg.extended_vocab_size,
+        valid_vocab=cfg.extended_vocab_size, chunk_size=ce_chunk,
     )
 
 
@@ -311,6 +312,7 @@ def _train_step_fn(
     use_flash: Optional[bool],
     mesh: Optional[Mesh],
     pipe_schedule: str = "gpipe",
+    ce_chunk: int = 1024,
 ):
     use_1f1b = pipe_schedule == "1f1b" and _pipe_size(mesh) > 1
     if pipe_schedule not in ("gpipe", "1f1b"):
@@ -326,7 +328,7 @@ def _train_step_fn(
             loss, grads = jax.value_and_grad(
                 lambda p: loss_fn(
                     p, cfg, batch, labels, mask_compat=mask_compat,
-                    use_flash=use_flash, mesh=mesh,
+                    use_flash=use_flash, mesh=mesh, ce_chunk=ce_chunk,
                 )
             )(state.params)
         if mesh is not None:
@@ -383,6 +385,7 @@ def make_train_loop(
     use_flash: Optional[bool] = None,
     donate: bool = True,
     mesh: Optional[Mesh] = None,
+    ce_chunk: int = 1024,
 ):
     """`n_steps` train steps inside ONE jit (`lax.scan` over the step body):
     a single dispatch and a single device->host fetch for the whole window.
@@ -400,7 +403,8 @@ def make_train_loop(
     harness; the real trainer re-invokes per data batch). Returns
     (final_state, losses[n_steps])."""
     step_fn = _train_step_fn(cfg, tx, mask_compat=mask_compat,
-                             use_flash=use_flash, mesh=mesh)
+                             use_flash=use_flash, mesh=mesh,
+                             ce_chunk=ce_chunk)
 
     def loop_fn(state: TrainState, batch: GARBatch, labels: jnp.ndarray):
         def body(s, _):
