@@ -126,7 +126,7 @@ def run_long_context(seq: int = 8192, iters: int = 3):
 
 
 def run_train(batch_size: int = 1, iters: int = 8, accumulation: int = 1,
-              ce_chunk: int = 1024):
+              ce_chunk: int = 1024, vit_remat_group: int = 1):
     """Training-step throughput: GAR-1B multimodal train step on one chip.
 
     The reference is primarily a training recipe (32/64-GPU global-batch-64
@@ -135,10 +135,18 @@ def run_train(batch_size: int = 1, iters: int = 8, accumulation: int = 1,
     unfrozen, bf16 (configs/gar_1b.py:31,66-72): full forward (ViT on 17
     tiles + mask embed + replay + decoder prefill) + backward through the
     FA-2 flash kernels (ops/flash_attention.py / flash_backward.py) + AdamW
-    update, remat on. B=2 does NOT fit one 16 GB chip next to the bf16
-    params+moments (measured: 16.42 GB, 4.35 GB of it HLO-temp
-    fragmentation) — batch scaling is the data axis's job, as in the
-    reference.
+    update, remat on.
+
+    B=2 on one 16 GB chip (VERDICT r4 #3, measured round 5): the r4 OOM
+    (+4.35 GB) was mostly the ce_chunk=1024 CE buffers — ce_chunk=512
+    shrinks the overshoot to +75 MB, and the residual is the ViT's 23
+    saved block boundaries (a bf16[23,34,1025,1024] = 1.54 GB HLO temp).
+    vit_remat_group=4 (nested grouped remat) recovers it: B=2 FITS at
+    ce_chunk=512 + vit_group=4 — but at 2744 ms/step = 3399 tok/s it
+    LOSES to B=1's 3847 tok/s (the group replay re-runs the tower once
+    more in the backward), so B=1 stays the recipe and batch scaling
+    stays the data axis's job, as in the reference. The knobs remain for
+    chips with more HBM, where grouping is free headroom.
 
     Reports ms/step, supervised tokens/s, and achieved TF/s from analytic
     matmul-FLOP accounting (utils/flops.py — counts the remat recompute;
@@ -169,8 +177,11 @@ def run_train(batch_size: int = 1, iters: int = 8, accumulation: int = 1,
     )
     # accumulation=2 is the reference's published 1B recipe
     # (configs/gar_1b.py:33,137: accumulative_counts=2); optax.MultiSteps
-    # holds a params-shaped grad accumulator (+2.4 GB bf16) and applies
-    # AdamW every 2nd micro-step
+    # holds a params-shaped grad accumulator and applies AdamW every 2nd
+    # micro-step. Measured (r5): does NOT fit one 16 GB chip next to bf16
+    # params+moments (+1.00 GB OOM; +0.94 GB even with ce_chunk=512 +
+    # vit_remat_group=4) - accumulation is a multi-chip recipe here, where
+    # the fsdp axis shards moments/grads/accumulator (PERF_NOTES r5 add. 3)
     opt_cfg = OptimizerConfig(lr=1e-4, total_steps=100,
                               accumulation=accumulation)
     state, tx = init_sharded_state(params, opt_cfg, mesh=None)
@@ -182,7 +193,8 @@ def run_train(batch_size: int = 1, iters: int = 8, accumulation: int = 1,
     # copy of params+moments is ever resident — two copies (donate=False)
     # OOM a 16 GB chip next to the S=4662 B=2 activations
     loop = make_train_loop(cfg, tx, iters, mask_compat=False, donate=True,
-                           ce_chunk=ce_chunk)
+                           ce_chunk=ce_chunk,
+                           vit_remat_group=vit_remat_group)
 
     from grasp_any_region_tpu.utils.flops import gar_flops
 
@@ -203,6 +215,8 @@ def run_train(batch_size: int = 1, iters: int = 8, accumulation: int = 1,
     tf = f", {flops / dt / 1e12:.1f} TF/s" if flops else ""
     acc = f" accum={accumulation}" if accumulation > 1 else ""
     ck = f" ce_chunk={ce_chunk}" if ce_chunk != 1024 else ""
+    if vit_remat_group > 1:
+        ck += f" vit_group={vit_remat_group}"
     print(
         f"[bench] train-step B={batch_size} S={s}{acc}{ck}: "
         f"{dt*1000:.0f} ms/step -> "
@@ -602,7 +616,6 @@ def main():
     info("serving int8 low-ttft", run_serving, quantize=True,
          decode_chunk=32, label="low-ttft")
     info("train-step", run_train)  # GAR-1B train step (VERDICT r3 #1)
-    info("train-accum2", run_train, accumulation=2)  # reference 1B recipe
     info("train-packed", run_train_packed)  # text-only varlen recipe (r4 #3)
     info("gar8b-decode", run_gar8b_decode)  # 8B int8 decoder on one chip
     info("long-context", run_long_context)  # 8k decoder prefill

@@ -118,6 +118,7 @@ def encode_images(
     *,
     mask_compat: bool = True,
     remat: bool = False,
+    remat_group: int = 1,
     compute_dtype=jnp.bfloat16,
     mesh=None,
 ) -> jnp.ndarray:
@@ -132,7 +133,8 @@ def encode_images(
         mask_embeds = mask_patch_embed(params, cfg, binary.astype(compute_dtype))
     hidden = vision_forward(
         params["vision"], cfg.vision, pixel_values, mask_embeds,
-        remat=remat, compute_dtype=compute_dtype, mesh=mesh,
+        remat=remat, remat_group=remat_group, compute_dtype=compute_dtype,
+        mesh=mesh,
     )
     if cfg.vision_use_cls_token:
         hidden = hidden[:, 1:, :]
@@ -170,6 +172,7 @@ def build_prefill_embeds(
     mask_compat: bool = True,
     double_scale_compat: bool = True,
     remat: bool = False,
+    remat_group: int = 1,
     compute_dtype=jnp.bfloat16,
     video_mode: bool = False,
     mesh=None,
@@ -191,8 +194,8 @@ def build_prefill_embeds(
     msk = batch.mask_values.reshape((b * t,) + batch.mask_values.shape[2:])
     feats = encode_images(
         params, cfg, pix, msk,
-        mask_compat=mask_compat, remat=remat, compute_dtype=compute_dtype,
-        mesh=mesh,
+        mask_compat=mask_compat, remat=remat, remat_group=remat_group,
+        compute_dtype=compute_dtype, mesh=mesh,
     )  # (B*T, tok, Dt)
     feats = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
     if mesh is not None:

@@ -195,6 +195,7 @@ def vision_forward(
     mask_embeds: Optional[jnp.ndarray] = None,
     *,
     remat: bool = False,
+    remat_group: int = 1,
     compute_dtype=jnp.bfloat16,
     use_flash: Optional[bool] = None,
     fused_blocks: Optional[bool] = None,
@@ -295,7 +296,32 @@ def vision_forward(
             return _block(cfg, carry, bp, None, use_flash, mesh=mesh), None
 
     body_fn = jax.checkpoint(body) if remat else body
-    x, _ = jax.lax.scan(body_fn, x, xs)
+    if remat and remat_group > 1:
+        # nested (grouped) remat: the plain checkpointed scan saves every
+        # block's input as a backward residual - depth x (T, S, D), the
+        # largest HLO temp of the B=2 train step (1.54 GB of the 74 MB-over
+        # OOM, bench.py run_train notes). Scanning GROUPS of g checkpointed
+        # blocks under an outer checkpoint keeps only ceil(depth/g) + g
+        # boundaries live (the group replay re-saves its inner boundaries
+        # transiently) at the cost of one extra tower forward in the
+        # backward - the classic sqrt(L) recompute/memory trade.
+        g = remat_group
+        n_grp, rem_n = divmod(cfg.depth, g)
+        tmap = jax.tree_util.tree_map
+
+        def group_body(carry, layer_grp):
+            c, _ = jax.lax.scan(body_fn, carry, layer_grp)
+            return c, None
+
+        grp_xs = tmap(
+            lambda a: a[: n_grp * g].reshape(n_grp, g, *a.shape[1:]), xs
+        )
+        x, _ = jax.lax.scan(jax.checkpoint(group_body), x, grp_xs)
+        if rem_n:
+            rem_xs = tmap(lambda a: a[n_grp * g:], xs)
+            x, _ = jax.lax.scan(body_fn, x, rem_xs)
+    else:
+        x, _ = jax.lax.scan(body_fn, x, xs)
 
     if params.get("ln_post") is not None:
         x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])

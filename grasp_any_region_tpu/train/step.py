@@ -53,10 +53,11 @@ def loss_fn(
     use_flash: Optional[bool] = None,
     mesh: Optional[Mesh] = None,
     ce_chunk: int = 1024,
+    vit_remat_group: int = 1,
 ) -> jnp.ndarray:
     embeds = build_prefill_embeds(
         params, cfg, batch, mask_compat=mask_compat, remat=True,
-        compute_dtype=jnp.bfloat16, mesh=mesh,
+        remat_group=vit_remat_group, compute_dtype=jnp.bfloat16, mesh=mesh,
     )
     if _pipe_size(mesh) > 1:
         from ..parallel.pipeline import pipeline_prefill
@@ -313,6 +314,7 @@ def _train_step_fn(
     mesh: Optional[Mesh],
     pipe_schedule: str = "gpipe",
     ce_chunk: int = 1024,
+    vit_remat_group: int = 1,
 ):
     use_1f1b = pipe_schedule == "1f1b" and _pipe_size(mesh) > 1
     if pipe_schedule not in ("gpipe", "1f1b"):
@@ -329,6 +331,7 @@ def _train_step_fn(
                 lambda p: loss_fn(
                     p, cfg, batch, labels, mask_compat=mask_compat,
                     use_flash=use_flash, mesh=mesh, ce_chunk=ce_chunk,
+                    vit_remat_group=vit_remat_group,
                 )
             )(state.params)
         if mesh is not None:
@@ -386,6 +389,7 @@ def make_train_loop(
     donate: bool = True,
     mesh: Optional[Mesh] = None,
     ce_chunk: int = 1024,
+    vit_remat_group: int = 1,
 ):
     """`n_steps` train steps inside ONE jit (`lax.scan` over the step body):
     a single dispatch and a single device->host fetch for the whole window.
@@ -404,7 +408,8 @@ def make_train_loop(
     (final_state, losses[n_steps])."""
     step_fn = _train_step_fn(cfg, tx, mask_compat=mask_compat,
                              use_flash=use_flash, mesh=mesh,
-                             ce_chunk=ce_chunk)
+                             ce_chunk=ce_chunk,
+                             vit_remat_group=vit_remat_group)
 
     def loop_fn(state: TrainState, batch: GARBatch, labels: jnp.ndarray):
         def body(s, _):

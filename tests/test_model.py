@@ -187,3 +187,44 @@ def test_mask_embed_zero_init_is_noop(rng, params):
                               compute_dtype=jnp.float32)
     without = encode_images(params, cfg, pix, None, compute_dtype=jnp.float32)
     np.testing.assert_allclose(_np(with_mask), _np(without), rtol=1e-5, atol=1e-5)
+
+
+def test_vit_grouped_remat_matches_plain():
+    """Grouped (nested) remat is numerically invisible: forward AND grads
+    match the per-block remat scan exactly (same op order per block; only
+    what gets saved vs recomputed changes). depth=5 with group=2 exercises
+    the remainder path (2 groups of 2 + 1 trailing block)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_any_region_tpu.core.config import gar_tiny
+    from grasp_any_region_tpu.models.vision import (
+        init_vision_params, vision_forward,
+    )
+
+    cfg = dataclasses.replace(gar_tiny().vision, depth=5)
+    params = init_vision_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    pix = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.img_size[0], cfg.img_size[1])),
+        jnp.float32,
+    )
+
+    def loss(p, g):
+        out = vision_forward(p, cfg, pix, remat=True, remat_group=g,
+                             compute_dtype=jnp.float32)
+        return jnp.mean(out * out)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss), static_argnums=1)(params, 1)
+    l2, g2 = jax.jit(jax.value_and_grad(loss), static_argnums=1)(params, 2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for k, v in flat1:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat2[k]), atol=1e-6,
+            err_msg=jax.tree_util.keystr(k),
+        )
