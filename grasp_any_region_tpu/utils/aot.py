@@ -217,3 +217,47 @@ def lower_train_step(cfg: GARConfig, mesh: Mesh, *, batch: int, grid=(2, 2),
                            donate=True, mesh=mesh)
     with mesh, force_compile_target(mesh.devices.flat[0].platform):
         return step.lower(state_shaped, sb, ls).compile()
+
+
+def lower_packed_train_step(cfg: GARConfig, mesh: Mesh, *, rows: int,
+                            seq_len: int, pipe_schedule: str = "gpipe",
+                            master_dtype=jnp.bfloat16):
+    """AOT-compile the packed text-only train step on a pipe mesh.
+
+    The decoder is the pipelined component (vision never pipelines), so
+    this is the surface where the GPipe-vs-1F1B activation-memory claim
+    (parallel/pipeline.py docstring) is measurable on the REAL TPU
+    compiler: same model, same rows, only the schedule changes —
+    CompiledMemoryStats' temp bytes are the schedule's working set.
+    Used by tools/pipe_schedule_memory.py and tests/test_gar8b_aot_quick.py.
+    """
+    from ..data.builders import PackedTextBatch
+    from ..train.optimizer import OptimizerConfig, make_optimizer
+    from ..train.step import (
+        TrainState, make_packed_train_step, opt_state_shardings,
+    )
+
+    pshapes = shaped_params(cfg, master_dtype)
+    opt_cfg = OptimizerConfig(lr=1e-4, total_steps=100, accumulation=1)
+    tx = make_optimizer(pshapes, opt_cfg)
+    pshard = shaped(pshapes, param_shardings(pshapes, mesh))
+    oshapes = jax.eval_shape(tx.init, pshapes)
+    oshard = shaped(oshapes, opt_state_shardings(tx, pshapes, mesh))
+    state_shaped = TrainState(
+        params=pshard,
+        opt_state=oshard,
+        step=_annotate(jax.ShapeDtypeStruct((), jnp.int32), P(), mesh),
+    )
+    row_i32 = jax.ShapeDtypeStruct((rows, seq_len), jnp.int32)
+    dp = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names
+               and mesh.shape[a] > 1) or None
+    packed_shaped = PackedTextBatch(
+        input_ids=_annotate(row_i32, P(dp, None), mesh),
+        positions=_annotate(row_i32, P(dp, None), mesh),
+        segment_ids=_annotate(row_i32, P(dp, None), mesh),
+        labels=_annotate(row_i32, P(dp, None), mesh),
+    )
+    step = make_packed_train_step(cfg, tx, use_flash=None, donate=True,
+                                  mesh=mesh, pipe_schedule=pipe_schedule)
+    with mesh, force_compile_target(mesh.devices.flat[0].platform):
+        return step.lower(state_shaped, packed_shaped).compile()
