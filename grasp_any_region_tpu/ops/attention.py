@@ -156,10 +156,14 @@ def _flash_sharded(q, k, v, causal, segment_ids, scale, mesh):
     qspec = P(bspec, None, tensor, None)
     sspec = P(bspec, None)
 
-    # check_vma=False on both wrappings: pallas_call's out_shape
-    # ShapeDtypeStructs carry no vma, so the varying-manual-axes check
-    # cannot type the kernel's output and rejects the (otherwise valid)
-    # program ("vma on jax.ShapeDtypeStruct must not be None")
+    # check_vma stays ON for real TPU lowerings: the kernels' pallas_call
+    # out_shapes propagate the union of their operands' varying-manual-axes
+    # (ops/vma.pallas_struct), so the VMA check types the per-shard program
+    # end to end. On non-TPU meshes the kernel runs in the Pallas
+    # INTERPRETER, which inlines the kernel body (ref-carrying fori_loop)
+    # into the shard_map trace where the carry loses its vma — a known JAX
+    # limitation whose sanctioned workaround is check_vma=False.
+    vma_ok = mesh.devices.flat[0].platform == "tpu"
     if segment_ids is not None:
 
         def local4(qq, kk, vv, seg):
@@ -169,7 +173,7 @@ def _flash_sharded(q, k, v, causal, segment_ids, scale, mesh):
             local4, mesh=mesh,
             in_specs=(qspec, qspec, qspec, sspec),
             out_specs=qspec,
-            check_vma=False,
+            check_vma=vma_ok,
         )
         return fn(q, k, v, segment_ids)
 
@@ -182,7 +186,7 @@ def _flash_sharded(q, k, v, causal, segment_ids, scale, mesh):
         local3, mesh=mesh,
         in_specs=(qspec, qspec, qspec),
         out_specs=qspec,
-        check_vma=False,
+        check_vma=vma_ok,
     )
     return fn(q, k, v)
 

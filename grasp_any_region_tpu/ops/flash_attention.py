@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vma import pallas_struct
+
 NEG_INF = -2.0 ** 30
 
 
@@ -231,12 +233,16 @@ def flash_attention(
         operands += [qseg, kseg]
 
     out_specs = [pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0))]
-    out_shapes = [jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype)]
+    # vma-propagating structs: required when this kernel is traced inside a
+    # check_vma shard_map body (the pipeline stages, parallel/pipeline.py)
+    out_shapes = [pallas_struct((b * h, sq_p, d), q.dtype, qh, khh, vhh)]
     if return_lse:
         out_specs.append(
             pl.BlockSpec((None, 1, block_q), lambda bh, qi: (bh, 0, qi))
         )
-        out_shapes.append(jax.ShapeDtypeStruct((b * h, 1, sq_p), jnp.float32))
+        out_shapes.append(
+            pallas_struct((b * h, 1, sq_p), jnp.float32, qh, khh, vhh)
+        )
 
     res = pl.pallas_call(
         kernel,

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vma import pallas_struct
+
 
 def _mask_block(
     qi_start: int | jnp.ndarray,
@@ -369,7 +371,7 @@ def flash_attention_bwd(
         grid=(b * h, nq, nk),
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), jnp.float32),
+        out_shape=pallas_struct((b * h, sq_p, d), jnp.float32, qh, khh, vhh, gh),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
     )(*dq_operands)
@@ -407,8 +409,8 @@ def flash_attention_bwd(
             pl.BlockSpec((None, block_k, d), lambda bh, ki, qi: (bh, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+            pallas_struct((b * h, sk_p, d), jnp.float32, qh, khh, vhh, gh),
+            pallas_struct((b * h, sk_p, d), jnp.float32, qh, khh, vhh, gh),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),

@@ -16,6 +16,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .vma import pallas_struct
+
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
@@ -70,7 +72,7 @@ def layer_norm_fused(
             pl.BlockSpec((d,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_shape=pallas_struct(x2.shape, x.dtype, x2, weight, bias),
         interpret=interpret,
     )(x2, weight, bias)
     if pad:

@@ -97,9 +97,18 @@ def ring_attention(
             v_blk = jax.lax.ppermute(v_blk, axis, perm)
             return k_blk, v_blk, m_new, l, acc
 
+        # initial accumulators are constants, but after one hop they carry
+        # device-varying values (each shard attends its own q rows against
+        # rotating kv blocks) — mark them varying so the fori_loop carry
+        # type is stable under the VMA check
+        vary = tuple(jax.typeof(q).vma | jax.typeof(k).vma)
         m0 = jnp.full((b, h, s_local, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((b, h, s_local, 1), jnp.float32)
         acc0 = jnp.zeros((b, h, s_local, d), jnp.float32)
+        if vary:
+            m0, l0, acc0 = (
+                jax.lax.pcast(t, vary, to="varying") for t in (m0, l0, acc0)
+            )
         *_, l, acc = jax.lax.fori_loop(0, p, step, (k, v, m0, l0, acc0))
         out = acc / jnp.maximum(l, 1e-30)
         return out.transpose(0, 2, 1, 3).astype(q.dtype)
@@ -111,6 +120,5 @@ def ring_attention(
         inner, mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_vma=False,
     )
     return fn(q, k, v)

@@ -81,6 +81,11 @@ def ulysses_attention(
 
     from jax import shard_map
 
+    # check_vma on for TPU lowerings; the Pallas INTERPRETER (non-TPU test
+    # meshes) inlines the flash kernel's ref-carrying fori_loop into the
+    # shard_map trace where the carry loses its vma (known JAX limitation;
+    # ops/attention._flash_sharded has the full note)
+    vma_ok = mesh.devices.flat[0].platform == "tpu"
     spec = P(batch_axes, axis, None, None)
     seg_spec = P(batch_axes, axis)
     if segment_ids is None:
@@ -88,13 +93,13 @@ def ulysses_attention(
             lambda q, k, v: inner(q, k, v, None), mesh=mesh,
             in_specs=(spec, spec, spec),
             out_specs=spec,
-            check_vma=False,
+            check_vma=vma_ok,
         )
         return fn(q, k, v)
     fn = shard_map(
         inner, mesh=mesh,
         in_specs=(spec, spec, spec, seg_spec),
         out_specs=spec,
-        check_vma=False,
+        check_vma=vma_ok,
     )
     return fn(q, k, v, segment_ids)

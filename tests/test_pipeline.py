@@ -204,3 +204,29 @@ def test_pipeline_composed_train_step_matches_single_device():
     p1 = np.asarray(new1.params["llm"]["blocks"]["wq"])
     p4 = np.asarray(jax.device_get(new4.params["llm"]["blocks"]["wq"]))
     np.testing.assert_allclose(p1, p4, rtol=3e-2, atol=2.1e-3)
+
+
+def test_pipeline_flash_kernel_under_check_vma():
+    """The Pallas flash kernel must trace INSIDE the pipe shard_map body.
+
+    The pipe shard_map keeps check_vma=True; pallas_call out_shapes
+    therefore have to declare their varying-manual-axes (ops/vma.py
+    pallas_struct — derived from the kernel operands). Before that fix,
+    pipeline training at S >= 1024 on TPU (where mha auto-selects the
+    flash kernel) failed to trace with "vma on jax.ShapeDtypeStruct must
+    not be None". S=1024 divides the kernel blocks, so the interpreter
+    path is exact here; parity vs the unpipelined flash forward.
+    """
+    cfg, params, _, _ = _setup(num_layers=4, B=2, S=1024)
+    rng = np.random.default_rng(11)
+    embeds = jnp.asarray(
+        rng.standard_normal((2, 1024, cfg.hidden_size)) * 0.05,
+        dtype=jnp.float32,
+    )
+    positions = jnp.tile(jnp.arange(1024, dtype=jnp.int32), (2, 1))
+    ref, _ = llama_prefill(params, cfg, embeds, positions, use_flash=True)
+    mesh = make_pipeline_mesh(2)
+    out = pipeline_prefill(
+        params, cfg, embeds, positions, mesh, n_micro=2, use_flash=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
